@@ -1,0 +1,148 @@
+"""Minimal pure-numpy NIfTI-1 reader/writer.
+
+The reference pipeline does all volume IO through nibabel
+(e.g. /root/reference/straighten/straighten_mask_3d.py:472,
+/root/reference/data/aligned_dataset.py:184). nibabel is not available in
+this image, and volume IO is host-side work anyway, so we implement the
+small subset of NIfTI-1 we need: single-file .nii / .nii.gz, scalar dtypes,
+affine via srow or qform-less fallback, optional scl_slope/scl_inter.
+
+Data is returned in Fortran (column-major) axis order like nibabel's
+get_fdata(): array[i, j, k] with i fastest-varying on disk.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_HDR_SIZE = 348
+_MAGIC_N1 = b"n+1\x00"
+
+# NIfTI datatype codes -> numpy dtypes
+_DTYPES = {
+    2: np.uint8,
+    4: np.int16,
+    8: np.int32,
+    16: np.float32,
+    64: np.float64,
+    256: np.int8,
+    512: np.uint16,
+    768: np.uint32,
+    1024: np.int64,
+    1280: np.uint64,
+}
+_DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+@dataclass
+class Nifti1Image:
+    """A loaded NIfTI volume: raw data + affine + voxel spacing."""
+
+    data: np.ndarray
+    affine: np.ndarray = field(default_factory=lambda: np.eye(4))
+    spacing: tuple = (1.0, 1.0, 1.0)
+
+    def get_fdata(self) -> np.ndarray:
+        return np.asarray(self.data, dtype=np.float64)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+
+def _open(path, mode="rb"):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def load(path) -> Nifti1Image:
+    """Load a .nii or .nii.gz file."""
+    with _open(path, "rb") as f:
+        raw = f.read()
+    hdr = raw[:_HDR_SIZE]
+    (sizeof_hdr,) = struct.unpack("<i", hdr[0:4])
+    endian = "<"
+    if sizeof_hdr != _HDR_SIZE:
+        endian = ">"
+        (sizeof_hdr,) = struct.unpack(">i", hdr[0:4])
+        if sizeof_hdr != _HDR_SIZE:
+            raise ValueError(f"not a NIfTI-1 file: {path}")
+
+    dim = struct.unpack(endian + "8h", hdr[40:56])
+    ndim = dim[0]
+    shape = tuple(int(d) for d in dim[1 : 1 + ndim])
+    (datatype,) = struct.unpack(endian + "h", hdr[70:72])
+    pixdim = struct.unpack(endian + "8f", hdr[76:108])
+    (vox_offset,) = struct.unpack(endian + "f", hdr[108:112])
+    scl_slope, scl_inter = struct.unpack(endian + "2f", hdr[112:120])
+    srow_x = struct.unpack(endian + "4f", hdr[280:296])
+    srow_y = struct.unpack(endian + "4f", hdr[296:312])
+    srow_z = struct.unpack(endian + "4f", hdr[312:328])
+    (sform_code,) = struct.unpack(endian + "h", hdr[254:256])
+
+    if datatype not in _DTYPES:
+        raise ValueError(f"unsupported NIfTI datatype code {datatype}")
+    dtype = np.dtype(_DTYPES[datatype]).newbyteorder(endian)
+
+    count = int(np.prod(shape)) if shape else 0
+    start = int(vox_offset)
+    data = np.frombuffer(raw, dtype=dtype, count=count, offset=start)
+    data = data.reshape(shape, order="F")
+    data = np.asarray(data, dtype=data.dtype.newbyteorder("="))
+
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        slope = scl_slope if scl_slope != 0.0 else 1.0
+        data = data * slope + scl_inter
+
+    if sform_code > 0:
+        affine = np.array([srow_x, srow_y, srow_z, [0, 0, 0, 1]], dtype=np.float64)
+    else:
+        affine = np.diag([pixdim[1] or 1.0, pixdim[2] or 1.0, pixdim[3] or 1.0, 1.0])
+    spacing = tuple(float(abs(p)) or 1.0 for p in pixdim[1:4])
+    return Nifti1Image(data=data, affine=affine, spacing=spacing)
+
+
+def save(img: Nifti1Image, path) -> None:
+    """Write a .nii or .nii.gz file (NIfTI-1 single-file)."""
+    data = np.asarray(img.data)
+    if data.dtype == np.float64:
+        data = data.astype(np.float32)
+    if data.dtype not in _DTYPE_CODES:
+        data = data.astype(np.float32)
+    code = _DTYPE_CODES[np.dtype(data.dtype)]
+    shape = data.shape
+    ndim = len(shape)
+    dim = [ndim] + list(shape) + [1] * (7 - ndim)
+
+    affine = np.asarray(img.affine, dtype=np.float64)
+    # voxel sizes from affine columns
+    pixdim = [1.0] + [float(np.linalg.norm(affine[:3, i])) or 1.0 for i in range(3)] + [0.0] * 4
+
+    hdr = bytearray(_HDR_SIZE)
+    struct.pack_into("<i", hdr, 0, _HDR_SIZE)
+    struct.pack_into("<8h", hdr, 40, *dim)
+    struct.pack_into("<h", hdr, 70, code)
+    struct.pack_into("<h", hdr, 72, data.dtype.itemsize * 8)  # bitpix
+    struct.pack_into("<8f", hdr, 76, *pixdim)
+    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into("<2f", hdr, 112, 1.0, 0.0)  # scl_slope/inter
+    struct.pack_into("<h", hdr, 252, 1)  # qform_code (identity-ish)
+    struct.pack_into("<h", hdr, 254, 1)  # sform_code
+    struct.pack_into("<4f", hdr, 280, *affine[0])
+    struct.pack_into("<4f", hdr, 296, *affine[1])
+    struct.pack_into("<4f", hdr, 312, *affine[2])
+    hdr[344:348] = _MAGIC_N1
+
+    payload = bytes(hdr) + b"\x00" * 4 + data.tobytes(order="F")
+    if str(path).endswith(".gz"):
+        payload = gzip.compress(payload)
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)
