@@ -1,0 +1,178 @@
+"""Layered CLI option system, drop-in compatible with the reference surface.
+
+Mirrors /root/reference/options/{base,train,test}_options.py: the same flag
+names and defaults, plugin flag injection from the model/dataset registries,
+and the resolved-options dump to {checkpoints_dir}/{name}/{phase}_opt.txt.
+
+TPU-native additions (all optional): --mesh (device mesh spec, e.g. "data:8"
+or "data:4,model:2"), --compute_dtype (bfloat16|float32), --seed,
+--donate_state. The torch-only --gpu_ids flag is accepted and ignored so
+reference launch commands keep working.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    # basic parameters (base_options.py:21-27)
+    parser.add_argument("--dataroot", required=False, default=None,
+                        help="path to straightened dataset (CT/ label/ subdirs)")
+    parser.add_argument("--name", type=str, default="experiment_name")
+    parser.add_argument("--gpu_ids", type=str, default="0",
+                        help="ignored (TPU build); kept for CLI compatibility")
+    parser.add_argument("--checkpoints_dir", type=str, default="./checkpoints")
+    # model parameters
+    parser.add_argument("--model", type=str, default="pix2pix")
+    parser.add_argument("--input_nc", type=int, default=1)
+    parser.add_argument("--output_nc", type=int, default=1)
+    parser.add_argument("--ngf", type=int, default=64)
+    parser.add_argument("--ndf", type=int, default=64)
+    parser.add_argument("--netD", type=str, default="basic")
+    parser.add_argument("--netG", type=str, default="unet_256")
+    parser.add_argument("--n_layers_D", type=int, default=3)
+    parser.add_argument("--norm", type=str, default="instance")
+    parser.add_argument("--init_type", type=str, default="normal")
+    parser.add_argument("--init_gain", type=float, default=0.02)
+    parser.add_argument("--no_dropout", action="store_true")
+    # dataset parameters
+    parser.add_argument("--dataset_mode", type=str, default="aligned")
+    parser.add_argument("--direction", type=str, default="AtoB")
+    parser.add_argument("--serial_batches", action="store_true")
+    parser.add_argument("--num_threads", default=16, type=int)
+    parser.add_argument("--batch_size", type=int, default=12)
+    parser.add_argument("--load_size", type=int, default=256)
+    parser.add_argument("--crop_size", type=int, default=256)
+    parser.add_argument("--max_dataset_size", type=int, default=2**31)
+    parser.add_argument("--preprocess", type=str, default="none")
+    parser.add_argument("--no_flip", action="store_true")
+    parser.add_argument("--display_winsize", type=int, default=256)
+    # additional parameters
+    parser.add_argument("--epoch", type=str, default="latest")
+    parser.add_argument("--load_iter", type=int, default=0)
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--suffix", default="", type=str)
+    parser.add_argument("--use_wandb", action="store_true")
+    parser.add_argument("--wandb_project_name", type=str, default="HealthiVert-TPU")
+    # TPU-native parameters
+    parser.add_argument("--mesh", type=str, default="data:-1",
+                        help="device mesh spec 'axis:n[,axis:n]'; n=-1 uses all devices")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cam_dir", type=str, default=None,
+                        help="folder of HGAM attention heatmap NIfTIs; omit for uniform CAM")
+    return parser
+
+
+def _train_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    # train_options.py:12-39
+    parser.add_argument("--display_freq", type=int, default=400)
+    parser.add_argument("--display_ncols", type=int, default=4)
+    parser.add_argument("--display_id", type=int, default=1)
+    parser.add_argument("--display_server", type=str, default="http://localhost")
+    parser.add_argument("--display_env", type=str, default="main")
+    parser.add_argument("--display_port", type=int, default=8097)
+    parser.add_argument("--update_html_freq", type=int, default=1000)
+    parser.add_argument("--print_freq", type=int, default=100)
+    parser.add_argument("--no_html", action="store_true")
+    parser.add_argument("--save_latest_freq", type=int, default=5000)
+    parser.add_argument("--save_epoch_freq", type=int, default=5)
+    parser.add_argument("--save_by_iter", action="store_true")
+    parser.add_argument("--continue_train", action="store_true")
+    parser.add_argument("--epoch_count", type=int, default=1)
+    parser.add_argument("--phase", type=str, default="train")
+    parser.add_argument("--n_epochs", type=int, default=200)
+    parser.add_argument("--n_epochs_decay", type=int, default=800)
+    parser.add_argument("--beta1", type=float, default=0.5)
+    parser.add_argument("--lr", type=float, default=0.0002)
+    parser.add_argument("--gan_mode", type=str, default="wgangp")
+    parser.add_argument("--pool_size", type=int, default=50)
+    parser.add_argument("--lr_policy", type=str, default="linear")
+    parser.add_argument("--lr_decay_iters", type=int, default=50)
+    parser.add_argument("--vert_class", type=str, default="normal")
+    parser.add_argument("--eval_freq", type=int, default=15,
+                        help="run in-training eval every N epochs (train.py:224)")
+    return parser
+
+
+def _test_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    # test_options.py:11-22
+    parser.add_argument("--results_dir", type=str, default="./results/")
+    parser.add_argument("--aspect_ratio", type=float, default=1.0)
+    parser.add_argument("--phase", type=str, default="test")
+    parser.add_argument("--eval", action="store_true")
+    parser.add_argument("--num_test", type=int, default=1000)
+    parser.add_argument("--vert_class", type=str, default="normal")
+    return parser
+
+
+class BaseOptions:
+    """Gathers base + model/dataset-injected flags, prints and persists them."""
+
+    isTrain: bool = False
+
+    def initialize(self, parser):
+        return _base_parser(parser)
+
+    def gather_options(self, args=None):
+        parser = argparse.ArgumentParser(
+            formatter_class=argparse.ArgumentDefaultsHelpFormatter
+        )
+        parser = self.initialize(parser)
+        opt, _ = parser.parse_known_args(args)
+
+        # plugin flag injection, as base_options.py:79-88
+        from healthivert_tpu.models import get_option_setter as model_setter
+        from healthivert_tpu.data import get_option_setter as data_setter
+
+        parser = model_setter(opt.model)(parser, self.isTrain)
+        opt, _ = parser.parse_known_args(args)
+        parser = data_setter(opt.dataset_mode)(parser, self.isTrain)
+
+        self.parser = parser
+        return parser.parse_args(args)
+
+    def print_options(self, opt, save: bool = True) -> str:
+        lines = ["----------------- Options ---------------"]
+        for k, v in sorted(vars(opt).items()):
+            comment = ""
+            default = self.parser.get_default(k)
+            if v != default:
+                comment = f"\t[default: {default}]"
+            lines.append(f"{str(k):>25}: {str(v):<30}{comment}")
+        lines.append("----------------- End -------------------")
+        message = "\n".join(lines)
+        print(message)
+        if save:
+            expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
+            os.makedirs(expr_dir, exist_ok=True)
+            with open(os.path.join(expr_dir, f"{opt.phase}_opt.txt"), "w") as f:
+                f.write(message + "\n")
+        return message
+
+    def parse(self, args=None, save: bool = True):
+        opt = self.gather_options(args)
+        opt.isTrain = self.isTrain
+        if opt.suffix:
+            opt.name = opt.name + "_" + opt.suffix.format(**vars(opt))
+        self.print_options(opt, save=save)
+        return opt
+
+
+class TrainOptions(BaseOptions):
+    isTrain = True
+
+    def initialize(self, parser):
+        return _train_parser(_base_parser(parser))
+
+
+class TestOptions(BaseOptions):
+    isTrain = False
+
+    def initialize(self, parser):
+        parser = _test_parser(_base_parser(parser))
+        parser.set_defaults(load_size=parser.get_default("crop_size"))
+        return parser

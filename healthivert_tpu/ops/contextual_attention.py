@@ -1,0 +1,160 @@
+"""Batched contextual attention (patch-match inpainting attention) for TPU.
+
+The reference computes this with a Python loop over the batch, building
+1024-filter convs per sample plus two 3x3 "fuse" convs over a 1024x1024
+score image and a conv_transpose paste
+(/root/reference/models/inpaint_networks.py:235-410, inpaint_tools.py:26-54).
+
+TPU-native formulation — everything batched, MXU-shaped, no per-sample loop:
+
+  similarity:  unfold(f_down) @ normalized-patches(b_down)^T
+               -> one (B, P, k2C) x (B, k2C, L) batched matmul
+  fuse:        the 3x3 identity-kernel conv over the flattened (L, P) score
+               image == 3 diagonal shifted adds (VPU); the second pass is the
+               same after a (h<->w) block transpose
+  softmax:     mask-gated, scale=10, over the L patch axis
+  paste:       probs^T @ raw-patches -> (B, P, 16C) batched matmul, then a
+               static 16-offset overlap-add (the stride-2 4x4 transposed conv)
+
+Per-sample mask gating: the reference applies sample 0's patch mask to the
+whole batch (inpaint_networks.py:314 `m = m[0]`); we gate each sample with
+its own mask, which is what the math intends (identical at batch size 1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .image import resize_nearest
+
+
+class AttentionOut(NamedTuple):
+    y: jnp.ndarray  # (B, H, W, C) pasted features
+    offsets: jnp.ndarray  # (B, H/rate, W/rate, 2) argmax patch coords (h, w)
+
+
+def _same_pad_hw(x, k, s):
+    """Symmetric SAME padding on H, W (matches inpaint_tools.same_padding)."""
+    h, w = x.shape[1], x.shape[2]
+    oh = -(-h // s)
+    ow = -(-w // s)
+    ph = max(0, (oh - 1) * s + k - h)
+    pw = max(0, (ow - 1) * s + k - w)
+    return jnp.pad(
+        x, ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0))
+    )
+
+
+def extract_patches(x, k, s):
+    """(B, H, W, C) -> (B, L, k, k, C) patches with SAME padding, row-major."""
+    xp = _same_pad_hw(x, k, s)
+    b, hp, wp, c = xp.shape
+    oh = -(-x.shape[1] // s)
+    ow = -(-x.shape[2] // s)
+    rows = []
+    for dy in range(k):
+        for dx in range(k):
+            rows.append(xp[:, dy : dy + (oh - 1) * s + 1 : s, dx : dx + (ow - 1) * s + 1 : s, :])
+    # (k*k, B, oh, ow, C) -> (B, oh*ow, k, k, C)
+    pk = jnp.stack(rows, axis=0).reshape(k, k, b, oh, ow, c)
+    return pk.transpose(2, 3, 4, 0, 1, 5).reshape(b, oh * ow, k, k, c)
+
+
+def _fuse_diag(y):
+    """3x3 identity-kernel conv over (B, N, M) treated as an image:
+    out[i, j] = y[i-1, j-1] + y[i, j] + y[i+1, j+1] (zero-padded edges)."""
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1)))
+    return yp[:, :-2, :-2] + yp[:, 1:-1, 1:-1] + yp[:, 2:, 2:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ksize", "stride", "rate", "fuse_k", "fuse", "compute_offsets"),
+)
+def contextual_attention(
+    f: jnp.ndarray,
+    b: jnp.ndarray,
+    mask: jnp.ndarray,
+    ksize: int = 3,
+    stride: int = 1,
+    rate: int = 2,
+    fuse_k: int = 3,
+    softmax_scale: float = 10.0,
+    fuse: bool = True,
+    compute_offsets: bool = False,
+) -> AttentionOut:
+    """f, b: (B, H, W, C) NHWC features (foreground to fill / background to
+    borrow from; the network passes f == b). mask: (B, Hm, Wm, 1) with 1 in
+    the hole; downscaled here by 1/(4*rate) like the reference.
+    """
+    del fuse_k  # fixed 3 via _fuse_diag, as the reference always uses
+    bs, h, w, c = f.shape
+    kernel = 2 * rate
+
+    # raw patches for reconstruction, from full-res background
+    raw = extract_patches(b, kernel, rate * stride)  # (B, L, 4, 4, C)
+    num_l = raw.shape[1]
+
+    # downscale for matching
+    fd = resize_nearest(f, h // rate, w // rate)
+    bd = resize_nearest(b, h // rate, w // rate)
+    hd, wd = fd.shape[1], fd.shape[2]
+    num_p = hd * wd
+
+    wpat = extract_patches(bd, ksize, stride)  # (B, L, 3, 3, C)
+    norm = jnp.sqrt(jnp.sum(wpat * wpat, axis=(2, 3, 4), keepdims=True))
+    wnorm = wpat / jnp.maximum(norm, 1e-4)
+
+    # mask -> patch-availability gate mm: 1 where the 3x3 patch is hole-free
+    md = resize_nearest(mask, mask.shape[1] // (4 * rate), mask.shape[2] // (4 * rate))
+    mpat = extract_patches(md, ksize, stride)  # (B, L, 3, 3, 1)
+    mm = (jnp.mean(mpat, axis=(2, 3, 4)) == 0.0).astype(f.dtype)  # (B, L)
+
+    # similarity scores as one batched matmul: (B, P, k2C) x (B, k2C, L)
+    fpat = extract_patches(fd, ksize, stride).reshape(bs, num_p, -1)
+    scores = jnp.einsum(
+        "bpk,blk->blp",
+        fpat,
+        wnorm.reshape(bs, num_l, -1),
+        preferred_element_type=jnp.float32,
+    )  # (B, L, P)
+
+    if fuse:
+        scores = _fuse_diag(scores)
+        # block transpose: view L as (hb, wb), P as (hf, wf), swap h<->w
+        s5 = scores.reshape(bs, hd, wd, hd, wd).transpose(0, 2, 1, 4, 3)
+        s5 = _fuse_diag(s5.reshape(bs, num_l, num_p))
+        scores = s5.reshape(bs, wd, hd, wd, hd).transpose(0, 2, 1, 4, 3)
+        scores = scores.reshape(bs, num_l, num_p)
+
+    gate = mm[:, :, None]
+    probs = jax.nn.softmax(scores * gate * softmax_scale, axis=1) * gate  # (B, L, P)
+
+    if compute_offsets:
+        off = jnp.argmax(probs, axis=1).astype(jnp.int32)  # (B, P)
+        offsets = jnp.stack([off // wd, off % wd], axis=-1).reshape(bs, hd, wd, 2)
+    else:
+        offsets = jnp.zeros((bs, hd, wd, 2), jnp.int32)
+
+    # paste: (B, P, L) x (B, L, 16C) then overlap-add (stride-2 4x4 deconv, pad 1)
+    vals = jnp.einsum(
+        "blp,blk->bpk",
+        probs,
+        raw.reshape(bs, num_l, -1),
+        preferred_element_type=jnp.float32,
+    ).reshape(bs, hd, wd, kernel, kernel, c)
+
+    s = rate * stride
+    pad = 1  # conv_transpose2d(..., padding=1) crops 1 from each side
+    out = jnp.zeros((bs, h + 2 * pad, w + 2 * pad, c), vals.dtype)
+    for dy in range(kernel):
+        for dx in range(kernel):
+            out = out.at[:, dy : dy + (hd - 1) * s + 1 : s, dx : dx + (wd - 1) * s + 1 : s, :].add(
+                vals[:, :, :, dy, dx, :]
+            )
+    y = out[:, pad : pad + h, pad : pad + w, :] / 4.0
+    return AttentionOut(y.astype(f.dtype), offsets)
