@@ -1,0 +1,325 @@
+"""The HealthiVert-GAN training graph: one jitted step updating D1/D2/D3/G.
+
+TPU-native re-design of /root/reference/models/pix2pix_model.py:
+- the reference's four sequential backward()+step() calls with
+  set_requires_grad toggling become four jax.grad regions in ONE compiled
+  step (stop_gradient replaces .detach(); partitioned grads replace
+  requires_grad switches); the update order (D1, D2, D3, then G against the
+  updated discriminators) is preserved
+- the SHRM paste-back per-sample Python loop with .item() syncs
+  (pix2pix_model.py:207-252) is the static-shape gather in ops.geometry
+- BatchNorm in the discriminators uses the global batch statistics under
+  pjit (sync-BN); the reference's DataParallel computed per-GPU stats
+
+Loss surface (weights exactly as pix2pix_model.py:331-353):
+  G_GAN   = (gan(D1(fake)) + gan(D2(fake_seg)) + gan(D3(fake_local))) / 6
+  maskL1  = (L1(fake,real) + L1(fake_coarse,real)) * .5 * lambda_L1
+            * (W*W / count_nonzero(mask)) * 2
+  coarse_Dice = (1 - dice(coarse_seg, normal_vert)) * 10
+  G_Dice  = (1 - dice(fine_seg, vert_seg)) * 15
+  edge    = mse(sobel(binarized fine_seg), sobel(vert_seg)) * 800
+  h       = mean(|pred1_h - h|/h * 40 + |pred2_h - h|/h * 40)
+
+Note (faithful reproduction): D2's GAN term and the edge term flow through a
+hard 0.5 threshold, so — exactly as in the reference — they contribute no
+gradient to G; they are still computed and logged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from healthivert_tpu.ops import geometry as geo
+from healthivert_tpu.ops.image import sobel_edges, dice_coeff
+from .discriminator import NLayerDiscriminator, gan_loss
+from .generator import Generator
+
+
+@dataclasses.dataclass(frozen=True)
+class Pix2PixConfig:
+    """Static training config (hashable; passed as a jit-static argument).
+
+    ngf=16: the reference hard-codes the generator width to 16 regardless of
+    the --ngf flag (pix2pix_model.py:103)."""
+
+    ngf: int = 16
+    ndf: int = 64
+    lr: float = 2e-4
+    beta1: float = 0.5
+    lambda_l1: float = 200.0
+    gan_mode: str = "vanilla"
+    maxheight: float = 40.0
+    image_size: int = 256
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    g_params: Any
+    g_sn: Any
+    d1_params: Any
+    d1_stats: Any
+    d2_params: Any
+    d2_stats: Any
+    d3_params: Any
+    d3_stats: Any
+    opt_g: Any
+    opt_d1: Any
+    opt_d2: Any
+    opt_d3: Any
+
+
+def build_modules(cfg: Pix2PixConfig):
+    gen = Generator(cnum=cfg.ngf)
+    d = NLayerDiscriminator(ndf=cfg.ndf, n_layers=3, norm="batch")
+    return gen, d
+
+
+def make_optimizer(cfg: Pix2PixConfig):
+    # torch.optim.Adam(lr, betas=(beta1, 0.999)) — lr applied dynamically so
+    # the epoch-level linear decay schedule stays outside the compiled step.
+    return optax.scale_by_adam(b1=cfg.beta1, b2=0.999, eps=1e-8)
+
+
+def init_state(rng: jax.Array, cfg: Pix2PixConfig, batch_size: int = 1) -> TrainState:
+    gen, disc = build_modules(cfg)
+    s = cfg.image_size
+    x = jnp.zeros((batch_size, s, s, 1))
+    ratio = jnp.zeros((batch_size,))
+    kg, k1, k2, k3 = jax.random.split(rng, 4)
+    gv = gen.init(kg, x, x, x, ratio)
+    d1 = disc.init(k1, x, train=True)
+    d2 = disc.init(k2, x, train=True)
+    d3 = disc.init(k3, x, train=True)
+    opt = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=gv["params"],
+        g_sn=gv["sn"],
+        d1_params=d1["params"],
+        d1_stats=d1["batch_stats"],
+        d2_params=d2["params"],
+        d2_stats=d2["batch_stats"],
+        d3_params=d3["params"],
+        d3_stats=d3["batch_stats"],
+        opt_g=opt.init(gv["params"]),
+        opt_d1=opt.init(d1["params"]),
+        opt_d2=opt.init(d2["params"]),
+        opt_d3=opt.init(d3["params"]),
+    )
+
+
+def generator_forward(
+    gen: Generator,
+    g_params,
+    g_sn,
+    batch: Dict[str, jnp.ndarray],
+    cfg: Pix2PixConfig,
+    update_sn: bool = True,
+):
+    """Full forward incl. SHRM paste-back (pix2pix_model.py:180-264)."""
+    cam_inv = 1.0 - batch["cam"]
+    if update_sn:
+        out, mut = gen.apply(
+            {"params": g_params, "sn": g_sn},
+            batch["context"], batch["mask"], cam_inv, batch["slice_ratio"],
+            mutable=["sn"],
+        )
+        new_sn = mut["sn"]
+    else:
+        out = gen.apply(
+            {"params": g_params, "sn": g_sn},
+            batch["context"], batch["mask"], cam_inv, batch["slice_ratio"],
+        )
+        new_sn = g_sn
+    pred1_h = out.pred1_h * cfg.maxheight
+    pred2_h = out.pred2_h * cfg.maxheight
+
+    height = batch["height"].astype(jnp.int32)
+    x1 = batch["x1"].astype(jnp.int32)
+    x2 = batch["x2"].astype(jnp.int32)
+    full = batch["full"]
+    fake_b = geo.shrm_paste_batch(out.x_stage2, full, pred2_h, height, x1, x2)
+    fake_b_coarse = geo.shrm_paste_batch(out.x_stage1, full, pred1_h, height, x1, x2)
+
+    fine_seg_bin = (out.fine_seg > 0.5).astype(out.fine_seg.dtype)
+    coarse_seg_bin = (out.coarse_seg > 0.5).astype(out.coarse_seg.dtype)
+
+    s = cfg.image_size
+    center = geo.local_crop_mask(s, s)[None, :, :, None]
+    fake_local = batch["mask"] * fake_b * center
+    real_local = batch["mask"] * full * center
+
+    return dict(
+        gen=out,
+        new_sn=new_sn,
+        pred1_h=pred1_h,
+        pred2_h=pred2_h,
+        fake_b=fake_b,
+        fake_b_coarse=fake_b_coarse,
+        fine_seg_bin=fine_seg_bin,
+        coarse_seg_bin=coarse_seg_bin,
+        fake_local=fake_local,
+        real_local=real_local,
+        fake_edges=sobel_edges(fine_seg_bin),
+        real_edges=sobel_edges(batch["vert_seg"]),
+    )
+
+
+def _d_forward(disc, params, stats, x):
+    logits, mut = disc.apply(
+        {"params": params, "batch_stats": stats}, x, train=True, mutable=["batch_stats"]
+    )
+    return logits, mut["batch_stats"]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    lr: jnp.ndarray,
+    cfg: Pix2PixConfig = Pix2PixConfig(),
+):
+    """One full optimization step: D1, D2, D3, then G (reference order,
+    pix2pix_model.py:356-382). Returns (new_state, losses dict)."""
+    gen, disc = build_modules(cfg)
+    opt = make_optimizer(cfg)
+
+    fwd = generator_forward(gen, state.g_params, state.g_sn, batch, cfg, update_sn=True)
+    full = batch["full"]
+    losses = {}
+
+    # --- discriminator updates (fakes detached) ---
+    def d_step(params, stats, opt_state, fake, real):
+        def loss_fn(p, st):
+            lf, st = _d_forward(disc, p, st, jax.lax.stop_gradient(fake))
+            lr_, st = _d_forward(disc, p, st, real)
+            l_fake = gan_loss(lf, False, cfg.gan_mode)
+            l_real = gan_loss(lr_, True, cfg.gan_mode)
+            return (l_fake + l_real) * 0.5, (st, l_fake, l_real)
+
+        (_, (new_stats, l_fake, l_real)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, stats)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, jax.tree_util.tree_map(lambda u: -lr * u, updates))
+        return params, new_stats, opt_state, l_fake, l_real
+
+    d1_params, d1_stats, opt_d1, losses["D_fake_1"], losses["D_real_1"] = d_step(
+        state.d1_params, state.d1_stats, state.opt_d1, fwd["fake_b"], full
+    )
+    d2_params, d2_stats, opt_d2, losses["D_fake_2"], losses["D_real_2"] = d_step(
+        state.d2_params, state.d2_stats, state.opt_d2, fwd["fine_seg_bin"], batch["vert_seg"]
+    )
+    d3_params, d3_stats, opt_d3, losses["D_fake_3"], losses["D_real_3"] = d_step(
+        state.d3_params, state.d3_stats, state.opt_d3, fwd["fake_local"], fwd["real_local"]
+    )
+
+    # --- generator update against the UPDATED discriminators ---
+    def g_loss_fn(g_params):
+        f = generator_forward(gen, g_params, state.g_sn, batch, cfg, update_sn=False)
+        p1, _ = _d_forward(disc, d1_params, d1_stats, f["fake_b"])
+        p2, _ = _d_forward(disc, d2_params, d2_stats, f["fine_seg_bin"])
+        p3, _ = _d_forward(disc, d3_params, d3_stats, f["fake_local"])
+        l_gan = (
+            gan_loss(p1, True, cfg.gan_mode)
+            + gan_loss(p2, True, cfg.gan_mode)
+            + gan_loss(p3, True, cfg.gan_mode)
+        ) / 6.0
+
+        mask_count = jnp.count_nonzero(batch["mask"]).astype(jnp.float32)
+        s = cfg.image_size
+        l_l1 = (
+            (jnp.mean(jnp.abs(f["fake_b"] - full)) + jnp.mean(jnp.abs(f["fake_b_coarse"] - full)))
+            * 0.5
+            * cfg.lambda_l1
+            * (s * s / jnp.maximum(mask_count, 1.0))
+            * 2.0
+        )
+        l_coarse_dice = (1.0 - dice_coeff(f["gen"].coarse_seg, batch["normal_vert"])) * 10.0
+        l_dice = (1.0 - dice_coeff(f["gen"].fine_seg, batch["vert_seg"])) * 15.0
+        l_edge = jnp.mean((f["fake_edges"] - f["real_edges"]) ** 2) * 800.0
+        h = batch["height"].astype(jnp.float32)
+        l_h = jnp.mean(
+            jnp.abs(f["pred1_h"] - h) / h * 40.0 + jnp.abs(f["pred2_h"] - h) / h * 40.0
+        )
+        total = l_gan + l_l1 + l_dice + l_edge + l_coarse_dice + l_h
+        return total, dict(
+            G_GAN=l_gan, G_maskL1=l_l1, G_Dice=l_dice, coarse_Dice=l_coarse_dice,
+            edge=l_edge, h=l_h,
+        )
+
+    (g_total, g_losses), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        state.g_params
+    )
+    updates, opt_g = opt.update(g_grads, state.opt_g, state.g_params)
+    g_params = optax.apply_updates(
+        state.g_params, jax.tree_util.tree_map(lambda u: -lr * u, updates)
+    )
+    losses.update(g_losses)
+    losses["G_total"] = g_total
+
+    new_state = TrainState(
+        step=state.step + 1,
+        g_params=g_params,
+        g_sn=fwd["new_sn"],
+        d1_params=d1_params, d1_stats=d1_stats,
+        d2_params=d2_params, d2_stats=d2_stats,
+        d3_params=d3_params, d3_stats=d3_stats,
+        opt_g=opt_g, opt_d1=opt_d1, opt_d2=opt_d2, opt_d3=opt_d3,
+    )
+    return new_state, losses
+
+
+def linear_lr_scale(epoch: int, epoch_count: int, n_epochs: int, n_epochs_decay: int) -> float:
+    """networks.py:52-56: constant for n_epochs, then linear decay to zero."""
+    return 1.0 - max(0, epoch + epoch_count - n_epochs) / float(n_epochs_decay + 1)
+
+
+# --- registry hookup -------------------------------------------------------
+
+def _option_setter(parser, is_train):
+    # pix2pix_model.py:65-72: defaults + lambda_L1
+    parser.set_defaults(norm="batch", netG="unet_256", dataset_mode="aligned")
+    if is_train:
+        parser.set_defaults(pool_size=0, gan_mode="vanilla")
+        parser.add_argument("--lambda_L1", type=float, default=200.0)
+    return parser
+
+
+class Pix2PixModel:
+    """Thin driver-facing wrapper bundling config + state (see engine.train_loop)."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.cfg = Pix2PixConfig(
+            ngf=16,  # reference hard-codes G width (pix2pix_model.py:103)
+            ndf=opt.ndf,
+            lr=opt.lr if hasattr(opt, "lr") else 2e-4,
+            beta1=getattr(opt, "beta1", 0.5),
+            lambda_l1=getattr(opt, "lambda_L1", 200.0),
+            gan_mode=getattr(opt, "gan_mode", "vanilla"),
+            image_size=opt.crop_size,
+        )
+        self.loss_names = [
+            "G_GAN", "G_maskL1", "G_Dice", "coarse_Dice", "edge",
+            "D_real_1", "D_fake_1", "D_real_2", "D_fake_2", "D_real_3", "D_fake_3", "h",
+        ]
+        self.state = None
+
+    def setup(self, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.opt.seed)
+        self.state = init_state(rng, self.cfg)
+        return self
+
+
+from . import register_model  # noqa: E402
+
+register_model("pix2pix", Pix2PixModel, _option_setter)

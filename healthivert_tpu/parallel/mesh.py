@@ -1,0 +1,54 @@
+"""Device mesh + sharding specs: the TPU-native replacement for the
+reference's torch.nn.DataParallel (/root/reference/models/networks.py:112-116).
+
+Strategy (SURVEY.md §2.4): the nets are ~1M params, so parallelism is pure
+data parallelism — batch sharded over the 'data' mesh axis, parameters
+replicated, gradients all-reduced automatically by XLA's GSPMD partitioner
+over ICI. A 'model' axis is kept in the mesh spec for forward-compatibility
+(unused by the pix2pix graph).
+
+Multi-host: call jax.distributed.initialize() before make_mesh; the same
+NamedShardings then span hosts with DCN between slices.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(spec: str = "data:-1", devices=None) -> Mesh:
+    """Build a Mesh from 'axis:n[,axis:n]'; n=-1 absorbs remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    axes = []
+    sizes = []
+    for part in spec.split(","):
+        name, _, n = part.partition(":")
+        axes.append(name.strip())
+        sizes.append(int(n) if n else -1)
+    known = int(np.prod([s for s in sizes if s > 0])) if any(s > 0 for s in sizes) else 1
+    sizes = [s if s > 0 else len(devices) // known for s in sizes]
+    total = int(np.prod(sizes))
+    mesh_devices = np.array(devices[:total]).reshape(sizes)
+    return Mesh(mesh_devices, tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Place a host batch dict on the mesh, sharded along the batch dim."""
+    sh = batch_sharding(mesh, axis)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def replicate_state(state, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    rep = replicated(mesh)
+    return jax.device_put(state, rep)
