@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark: two-stage synthesis throughput (slices/sec/chip).
+
+Measures the per-slice unit of work of the 3D inference driver — one full
+two-stage generator forward (coarse + refine + contextual attention) plus
+SHRM paste-back and seg binarization — batched, in bfloat16, on whatever
+chip jax selects (the real TPU under the driver; CPU as fallback).
+
+The reference publishes no throughput numbers (BASELINE.md): its inference
+driver runs batch-1 torch forwards in a Python loop
+(/root/reference/eval_3d_sagittal_twostage.py:201-234). Round 1 of this repo
+therefore ESTABLISHES the baseline: the first run writes the measured value
+to BASELINE_MEASURED.json and reports vs_baseline=1.0; later runs report
+value / first-recorded-value.
+
+Prints exactly one JSON line:
+  {"metric": "two-stage synth slices/sec/chip", "value": N, "unit": "slices/sec", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    import jax.numpy as jnp
+
+    from healthivert_tpu.data.synthetic import SyntheticDataset
+    from healthivert_tpu.models.pix2pix import (
+        Pix2PixConfig,
+        build_modules,
+        generator_forward,
+        init_state,
+    )
+
+    cfg = Pix2PixConfig(ngf=16, image_size=256)
+    gen, _ = build_modules(cfg)
+    state = init_state(jax.random.PRNGKey(0), cfg)
+
+    def infer_step(g_params, g_sn, batch):
+        bf = {
+            k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 and v.ndim == 4 else v)
+            for k, v in batch.items()
+        }
+        f = generator_forward(gen, g_params, g_sn, bf, cfg, update_sn=False)
+        return f["fake_b"], f["fine_seg_bin"], f["pred2_h"]
+
+    jit_step = jax.jit(infer_step)
+
+    best = 0.0
+    results = {}
+    for bs in (16, 32, 64):
+        ds = SyntheticDataset(batch_size=bs, seed=0, n_volumes=2)
+        batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
+        # warmup / compile; a D2H value fetch is the only reliable completion
+        # barrier on the tunneled backend (block_until_ready returns early)
+        out = jit_step(state.g_params, state.g_sn, batch)
+        float(jnp.sum(out[2]))
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jit_step(state.g_params, state.g_sn, batch)
+        # executions on one device stream are serialized; fetching the last
+        # output's data forces all queued steps to have completed
+        float(jnp.sum(out[0])) + float(jnp.sum(out[2]))
+        dt = time.perf_counter() - t0
+        sps = bs * iters / dt
+        results[bs] = sps
+        best = max(best, sps)
+        print(f"# batch {bs}: {sps:.1f} slices/sec", file=sys.stderr)
+
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            base = json.load(f)["value"]
+    else:
+        base = best
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(
+                {
+                    "metric": "two-stage synth slices/sec/chip",
+                    "value": best,
+                    "unit": "slices/sec",
+                    "established": time.strftime("%Y-%m-%d"),
+                    "note": "round-1 self-baseline; reference publishes no throughput",
+                    "per_batch": results,
+                },
+                f,
+                indent=2,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "two-stage synth slices/sec/chip",
+                "value": round(best, 2),
+                "unit": "slices/sec",
+                "vs_baseline": round(best / base, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

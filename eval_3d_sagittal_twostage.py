@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Iterative two-stage 3D synthesis CLI.
+
+Drop-in surface for /root/reference/eval_3d_sagittal_twostage.py, with flags
+instead of hard-coded paths:
+
+    python eval_3d_sagittal_twostage.py --dataroot <dir-with-CT,label> \
+        --name exp --epoch latest --results_dir ./output_3d [--cam_dir ...]
+
+For each {patient}_{vert}.nii.gz under {dataroot}/CT, synthesizes the
+pseudo-healthy vertebra (upper neighbor -> lower neighbor -> target, all
+slices batched per pass) and writes CT_fake/ and label_fake/ NIfTIs.
+"""
+
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from healthivert_tpu.config.options import TestOptions
+from healthivert_tpu.data.aligned import find_cam_path
+from healthivert_tpu.engine import checkpoint as ckpt
+from healthivert_tpu.engine.infer3d import synthesize_volume
+from healthivert_tpu.models.pix2pix import Pix2PixConfig, init_state
+from healthivert_tpu.utils import nifti
+
+
+def main(argv=None):
+    opt = TestOptions().parse(argv)
+    cfg = Pix2PixConfig(ngf=16, image_size=opt.crop_size)
+
+    state = init_state(jax.random.PRNGKey(opt.seed), cfg)
+    run_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    if ckpt.latest_exists(run_dir, opt.epoch):
+        state = ckpt.restore_checkpoint(state, run_dir, opt.epoch)
+        print(f"loaded checkpoint {run_dir}/{opt.epoch}")
+    else:
+        print(f"warning: no checkpoint at {run_dir}/{opt.epoch}; using init weights")
+
+    ct_dir = os.path.join(opt.dataroot, "CT")
+    out_ct = os.path.join(opt.results_dir, "CT_fake")
+    out_lb = os.path.join(opt.results_dir, "label_fake")
+    os.makedirs(out_ct, exist_ok=True)
+    os.makedirs(out_lb, exist_ok=True)
+
+    files = sorted(f for f in os.listdir(ct_dir) if f.endswith(".nii.gz"))
+    for i, fname in enumerate(files):
+        if os.path.exists(os.path.join(out_ct, fname)):
+            continue  # crude resumability, as the reference (:157)
+        t0 = time.time()
+        ct_img = nifti.load(os.path.join(ct_dir, fname))
+        lb_img = nifti.load(os.path.join(opt.dataroot, "label", fname))
+        pv = fname[: -len(".nii.gz")]
+        vert_id = int(pv.rsplit("_", 1)[1])
+
+        cam = None
+        if opt.cam_dir:
+            cp = find_cam_path(opt.cam_dir, pv)
+            if cp:
+                cam = nifti.load(cp).get_fdata().astype(np.float32)
+
+        ct_fake, lb_fake = synthesize_volume(
+            state.g_params, state.g_sn, cfg,
+            ct_img.get_fdata(), lb_img.get_fdata(), vert_id, cam,
+        )
+        nifti.save(nifti.Nifti1Image(ct_fake.astype(np.float32), ct_img.affine),
+                   os.path.join(out_ct, fname))
+        nifti.save(nifti.Nifti1Image(lb_fake.astype(np.float32), ct_img.affine),
+                   os.path.join(out_lb, fname))
+        print(f"[{i + 1}/{len(files)}] {fname} synthesized in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -117,7 +117,7 @@ class BaseOptions:
     def initialize(self, parser):
         return _base_parser(parser)
 
-    def gather_options(self, args=None):
+    def gather_options(self, args=None, known_only: bool = False):
         parser = argparse.ArgumentParser(
             formatter_class=argparse.ArgumentDefaultsHelpFormatter
         )
@@ -133,6 +133,9 @@ class BaseOptions:
         parser = data_setter(opt.dataset_mode)(parser, self.isTrain)
 
         self.parser = parser
+        if known_only:
+            opt, _ = parser.parse_known_args(args)
+            return opt
         return parser.parse_args(args)
 
     def print_options(self, opt, save: bool = True) -> str:
@@ -153,8 +156,8 @@ class BaseOptions:
                 f.write(message + "\n")
         return message
 
-    def parse(self, args=None, save: bool = True):
-        opt = self.gather_options(args)
+    def parse(self, args=None, save: bool = True, known_only: bool = False):
+        opt = self.gather_options(args, known_only=known_only)
         opt.isTrain = self.isTrain
         if opt.suffix:
             opt.name = opt.name + "_" + opt.suffix.format(**vars(opt))

@@ -1,0 +1,48 @@
+"""Checkpoint manager: full train state (params + all 4 optimizer states +
+SN/batch stats + step), addressing the reference's gap of never saving
+optimizer state (/root/reference/models/base_model.py:152-173 saves only
+net weights).
+
+Surface mirrors the reference cadence: a 'latest' alias plus per-epoch
+checkpoints under {checkpoints_dir}/{name}/ (base_model.py naming
+{epoch}_net_G.pth becomes {epoch}/ orbax directories).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+from flax import serialization
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(path)
+
+
+def save_checkpoint(state, directory: str, tag: str = "latest") -> str:
+    """Serialize a TrainState pytree to {directory}/{tag} (atomic)."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(_abs(directory), str(tag))
+    ckptr = ocp.StandardCheckpointer()
+    # to pure nested-dict-of-arrays for a stable on-disk schema
+    pure = serialization.to_state_dict(jax.device_get(state))
+    ckptr.save(path, pure, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(state_template, directory: str, tag: str = "latest"):
+    """Restore into the same pytree structure as state_template."""
+    path = os.path.join(_abs(directory), str(tag))
+    ckptr = ocp.StandardCheckpointer()
+    target = serialization.to_state_dict(jax.device_get(state_template))
+    restored = ckptr.restore(path, target)
+    return serialization.from_state_dict(state_template, restored)
+
+
+def latest_exists(directory: str, tag: str = "latest") -> bool:
+    return os.path.isdir(os.path.join(_abs(directory), str(tag)))

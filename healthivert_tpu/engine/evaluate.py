@@ -1,0 +1,94 @@
+"""In-training evaluation: masked SSIM/PSNR, coarse Dice, fine IoU, height
+error — parity with /root/reference/train.py:50-160 — plus the eval PNG grid.
+
+The reference moves every sample to numpy and loops; here one jitted batch
+forward produces everything and only the final scalars leave the device.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from healthivert_tpu.models.pix2pix import Pix2PixConfig, generator_forward, build_modules
+from healthivert_tpu.ops import image as I
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def eval_batch(g_params, g_sn, batch, cfg: Pix2PixConfig):
+    """Per-sample metrics for one batch. Returns dict of (B,) arrays."""
+    gen, _ = build_modules(cfg)
+    f = generator_forward(gen, g_params, g_sn, batch, cfg, update_sn=False)
+    full = batch["full"]
+    mask = batch["mask"]
+    fake = f["fake_b"]
+
+    def per_sample(fake_i, full_i, mask_i, coarse_bin, normal_i, fine_bin, vert_i, pred_h, h):
+        gm = (full_i * mask_i)[:, :, 0]
+        fm = (fake_i * mask_i)[:, :, 0]
+        # reference data_range choices (train.py:122-125)
+        dr_ssim = fake_i.max() - fake_i.min()
+        dr_psnr = fake_i.max() - full_i.min()
+        s = I.ssim(gm, fm, data_range=dr_ssim)
+        p = I.psnr(gm, fm, data_range=dr_psnr)
+        d = I.dice_score(coarse_bin, normal_i)
+        iou = I.iou_score(fine_bin, vert_i)
+        dh = jnp.abs(pred_h - h) / h * 100.0
+        return s, p, d, iou, dh
+
+    s, p, d, iou, dh = jax.vmap(per_sample)(
+        fake, full, mask,
+        f["coarse_seg_bin"], batch["normal_vert"], f["fine_seg_bin"], batch["vert_seg"],
+        f["pred2_h"], batch["height"].astype(jnp.float32),
+    )
+    return dict(ssim=s, psnr=p, dice=d, iou=iou, diff_h=dh), f
+
+
+def evaluate_model(g_params, g_sn, dataset, cfg: Pix2PixConfig, out_dir=None, epoch=0):
+    """Average metrics over the eval dataset; optionally save a PNG grid of
+    [context, fake, real, coarse_seg, normal, fine_seg, vert_seg, cam] rows
+    (train.py:150-159)."""
+    sums: Dict[str, float] = {}
+    count = 0
+    last = None
+    for batch in dataset:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        metrics, f = eval_batch(g_params, g_sn, jb, cfg)
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
+        count += next(iter(metrics.values())).shape[0]
+        last = (jb, f)
+    if count == 0:
+        return {}
+    avg = {k: v / count for k, v in sums.items()}
+
+    if out_dir is not None and last is not None:
+        jb, f = last
+        _save_grid(jb, f, out_dir, epoch)
+    return avg
+
+
+def _to_u8(x):
+    x = np.asarray(x)
+    lo, hi = x.min(), x.max()
+    return ((x - lo) / (hi - lo + 1e-8) * 255).astype(np.uint8)
+
+
+def _save_grid(jb, f, out_dir, epoch):
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    panels = [
+        jb["context"], f["fake_b"], jb["full"], f["coarse_seg_bin"],
+        jb["normal_vert"], f["fine_seg_bin"], jb["vert_seg"], jb["cam"],
+    ]
+    rows = []
+    for i in range(min(4, jb["full"].shape[0])):
+        rows.append(np.concatenate([_to_u8(p[i, :, :, 0]) for p in panels], axis=1))
+    grid = np.concatenate(rows, axis=0)
+    Image.fromarray(grid).save(os.path.join(out_dir, f"nepoch_{epoch:03d}_eval.png"))

@@ -1,0 +1,205 @@
+"""Iterative two-stage 3D synthesis: heal neighbors, then the target vertebra.
+
+Algorithm parity with /root/reference/eval_3d_sagittal_twostage.py:136-241,
+restructured for TPU (SURVEY.md §3.2): the reference runs THREE batch-1
+torch forwards per slice inside a Python z-loop; here each of the three
+passes (upper neighbor, lower neighbor on pass-1 output, target on the
+twice-healed context) runs as ONE batched jitted forward over all slices of
+the vertebra's central 4/5 z-range. Host numpy handles the per-slice band
+geometry between passes (it depends on the evolving label state).
+
+Reference-bug note (documented deviation): in the reference the target-
+vertebra synthesis call sits inside the 'lower neighbor missing' else-branch
+(eval_3d_sagittal_twostage.py:219-225), so slices whose lower neighbor
+exists reuse a stale `output` from a previous slice. Here the target pass
+always runs — the behavior the algorithm describes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from healthivert_tpu.data.sampler import remove_small_cc
+from healthivert_tpu.models.pix2pix import Pix2PixConfig, build_modules
+
+MAXHEIGHT = 40
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_bf16"))
+def _forward(g_params, g_sn, context, mask, cam, ratio, cfg: Pix2PixConfig, use_bf16=True):
+    gen, _ = build_modules(cfg)
+    if use_bf16:
+        context = context.astype(jnp.bfloat16)
+        mask = mask.astype(jnp.bfloat16)
+        cam = cam.astype(jnp.bfloat16)
+    out = gen.apply(
+        {"params": g_params, "sn": g_sn}, context, mask, 1.0 - cam, ratio
+    )
+    return (
+        out.x_stage2.astype(jnp.float32),
+        (out.fine_seg > 0.5).astype(jnp.float32),
+        out.pred2_h.astype(jnp.float32) * MAXHEIGHT,
+    )
+
+
+def _slice_geometry(label_sl: np.ndarray, ct_sl: np.ndarray, cam_sl: np.ndarray, vert_id: int):
+    """Band geometry for one slice (eval_3d_sagittal_twostage.py:46-98).
+    Returns None if the vertebra is absent after CC cleanup."""
+    vert = (label_sl == vert_id).astype(np.float64)
+    vert = remove_small_cc(vert, 50)
+    coords = np.argwhere(vert)
+    if coords.size == 0:
+        return None
+    rows = coords[:, 0]
+    x1, x2 = int(rows.min()), int(rows.max())
+    width = label_sl.shape[0]
+    height = x2 - x1
+    if height > MAXHEIGHT:
+        x_mean = int(rows.mean())
+        x1 = x_mean - 20
+        x2 = x1 + 40
+    mask_x = (x1 + x2) // 2
+    if mask_x <= MAXHEIGHT // 2:
+        min_x = 0
+    elif width - mask_x <= MAXHEIGHT / 2:
+        min_x = width - MAXHEIGHT
+    else:
+        min_x = mask_x - MAXHEIGHT // 2
+    max_x = min_x + MAXHEIGHT
+
+    mask = np.zeros_like(ct_sl, np.uint8)
+    mask[min_x : max_x + 1] = 1  # inclusive end, as :75
+
+    ctx = np.zeros_like(ct_sl, np.uint8)
+    ctx[:min_x] = ct_sl.astype(np.uint8)[x1 - min_x : x1]
+    tail = ct_sl.astype(np.uint8)[x2 : x2 + (width - max_x)]
+    ctx[max_x : max_x + tail.shape[0]] = tail
+
+    cam_shift = np.zeros_like(ct_sl, np.uint8)
+    cam_u8 = (cam_sl * 255).astype(np.uint8)
+    cam_shift[:min_x] = cam_u8[x1 - min_x : x1]
+    ctail = cam_u8[x2 : x2 + (width - max_x)]
+    cam_shift[max_x : max_x + ctail.shape[0]] = ctail
+
+    return dict(x1=x1, x2=x2, height=height, mask=mask, ctx=ctx, cam=cam_shift)
+
+
+def _reassemble(geo, x_stage2, fine_seg_bin, pred_h, ct_sl, label_sl, vert_id):
+    """SHRM paste-back on host (eval_3d:103-130). Returns (ct_new, label_new, height)."""
+    x1, x2, height = geo["x1"], geo["x2"], geo["height"]
+    h = ct_sl.shape[0]
+    ph = math.ceil(pred_h)
+    if ph < height:
+        ph = height
+    hd = ph - height
+    x_upper = x1 - hd // 2
+    x_bottom = x_upper + ph
+
+    fake = np.zeros_like(ct_sl, np.float64)
+    fake[x_upper:x_bottom] = (x_stage2[x_upper:x_bottom] + 1.0) * 127.5
+    ori = ct_sl.astype(np.uint8).astype(np.float64)
+    fake[:x_upper] = ((ori[hd // 2 : x1] / 255.0 * 2 - 1) + 1) * 127.5
+    tail = ori[x2 : x2 + h - x_bottom]
+    fake[x_bottom : x_bottom + tail.shape[0]] = tail
+
+    seg = np.zeros_like(label_sl, np.float64)
+    seg[x_upper:x_bottom] = fine_seg_bin[x_upper:x_bottom] * vert_id
+    seg[:x_upper] = label_sl[hd // 2 : x1]
+    stail = label_sl[x2 : x2 + h - x_bottom]
+    seg[x_bottom : x_bottom + stail.shape[0]] = stail
+    return fake, seg, height
+
+
+def _run_pass(g_params, g_sn, cfg, jobs, ratios, batch_size=32, use_bf16=True):
+    """Batched forward over a list of geometry jobs; returns per-job outputs."""
+    if not jobs:
+        return []
+    s = cfg.image_size
+    n = len(jobs)
+    outs = []
+    for i0 in range(0, n, batch_size):
+        chunk = jobs[i0 : i0 + batch_size]
+        pad = batch_size - len(chunk)
+        ctx = np.stack([j["ctx"] for j in chunk] + [chunk[-1]["ctx"]] * pad)
+        msk = np.stack([j["mask"] for j in chunk] + [chunk[-1]["mask"]] * pad)
+        cam = np.stack([j["cam"] for j in chunk] + [chunk[-1]["cam"]] * pad)
+        rat = np.array(
+            list(ratios[i0 : i0 + len(chunk)]) + [0.0] * pad, np.float32
+        )
+        x = jnp.asarray(ctx.astype(np.float32) / 255.0 * 2 - 1)[..., None]
+        m = jnp.asarray(msk.astype(np.float32))[..., None]
+        c = jnp.asarray(cam.astype(np.float32) / 255.0)[..., None]
+        x2_, seg, ph = _forward(g_params, g_sn, x, m, c, jnp.asarray(rat), cfg, use_bf16)
+        x2_, seg, ph = np.asarray(x2_), np.asarray(seg), np.asarray(ph)
+        for k in range(len(chunk)):
+            outs.append((x2_[k, :, :, 0], seg[k, :, :, 0], float(ph[k])))
+    return outs
+
+
+def synthesize_volume(
+    g_params,
+    g_sn,
+    cfg: Pix2PixConfig,
+    ct_vol: np.ndarray,
+    label_vol: np.ndarray,
+    vert_id: int,
+    cam_vol: Optional[np.ndarray] = None,
+    batch_size: int = 32,
+    use_bf16: bool = True,
+):
+    """Synthesize the pseudo-healthy target vertebra across all central slices.
+    Returns (ct_fake, label_fake) volumes (zeros outside the processed range)."""
+    cam_vol = cam_vol if cam_vol is not None else np.zeros_like(ct_vol, np.float32)
+    vert = label_vol == vert_id
+    zs = np.nonzero(vert.any(axis=(0, 1)))[0]
+    if zs.size == 0:
+        return np.zeros_like(ct_vol), np.zeros_like(ct_vol)
+    z0, z1 = int(zs.min()), int(zs.max())
+    range_length = z1 - z0 + 1
+    new_len = int(range_length * 4 / 5)
+    nz0 = z0 + (range_length - new_len) // 2
+    nz1 = nz0 + new_len - 1
+    center = (nz0 + nz1) // 2
+    z_list = list(range(nz0, nz1 + 1))
+    ratios = {z: abs(z - center) / range_length * 2 for z in z_list}
+
+    # evolving per-slice state
+    ct_state = {z: ct_vol[:, :, z].astype(np.float64) for z in z_list}
+    lb_state = {z: label_vol[:, :, z].astype(np.float64) for z in z_list}
+
+    # three passes: upper neighbor, lower neighbor, target
+    for which, nb in (("upper", -1), ("lower", +1), ("target", 0)):
+        vid = vert_id + nb
+        jobs, job_z, job_ratio = [], [], []
+        for z in z_list:
+            if which == "upper" and not (vert_id > 8 and np.sum(label_vol[:, :, z] == vid) > 200):
+                continue
+            # both neighbor-presence checks read the ORIGINAL labels (:204,:213)
+            if which == "lower" and not (vert_id < 24 and np.sum(label_vol[:, :, z] == vid) > 200):
+                continue
+            geo = _slice_geometry(lb_state[z], ct_state[z], cam_vol[:, :, z], vid)
+            if geo is None:
+                continue
+            jobs.append(geo)
+            job_z.append(z)
+            job_ratio.append(ratios[z])
+        outs = _run_pass(g_params, g_sn, cfg, jobs, job_ratio, batch_size, use_bf16)
+        for geo, z, (x2_, seg, ph) in zip(jobs, job_z, outs):
+            ct_new, lb_new, _ = _reassemble(
+                geo, x2_, seg, ph, ct_state[z], lb_state[z], vid
+            )
+            ct_state[z] = ct_new
+            lb_state[z] = lb_new
+
+    ct_fake = np.zeros_like(ct_vol, np.float64)
+    lb_fake = np.zeros_like(ct_vol, np.float64)
+    for z in z_list:
+        ct_fake[:, :, z] = ct_state[z]
+        lb_fake[:, :, z] = lb_state[z]
+    return ct_fake, lb_fake

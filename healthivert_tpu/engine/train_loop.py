@@ -1,0 +1,119 @@
+"""The training driver: epoch loop, LR schedule, checkpoints, periodic eval.
+
+Structure parity with /root/reference/train.py:162-236 (print/save cadences,
+eval every 15 epochs, 'latest'+epoch checkpoints), TPU-native internals:
+state replicated over a device mesh, batches sharded on the 'data' axis,
+one jitted step, no host syncs except the printed losses at print_freq.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from healthivert_tpu.data import create_dataset
+from healthivert_tpu.models.pix2pix import (
+    Pix2PixConfig,
+    init_state,
+    linear_lr_scale,
+    train_step,
+)
+from healthivert_tpu.parallel import make_mesh, replicate_state, shard_batch
+from . import checkpoint as ckpt
+from .evaluate import evaluate_model
+from .visualizer import Visualizer
+
+
+def run_training(opt, opt_test=None, max_steps=None):
+    """Main entry (train.py CLI). Returns the final TrainState."""
+    cfg = Pix2PixConfig(
+        ngf=16,
+        ndf=opt.ndf,
+        lr=opt.lr,
+        beta1=opt.beta1,
+        lambda_l1=getattr(opt, "lambda_L1", 200.0),
+        gan_mode=opt.gan_mode,
+        image_size=opt.crop_size,
+    )
+    mesh = make_mesh(opt.mesh)
+    n_data = mesh.shape.get("data", 1)
+    if opt.batch_size % max(n_data, 1) != 0:
+        raise ValueError(
+            f"batch_size {opt.batch_size} must divide by data-axis size {n_data}"
+        )
+
+    dataset = create_dataset(opt)
+    print(f"The number of training images = {len(dataset)}")
+
+    eval_dataset = None
+    if opt_test is not None:
+        try:
+            eval_dataset = create_dataset(opt_test)
+        except FileNotFoundError as e:
+            print(f"eval split unavailable ({e}); training without periodic eval")
+
+    run_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    os.makedirs(run_dir, exist_ok=True)
+    visualizer = Visualizer(opt)
+
+    state = init_state(jax.random.PRNGKey(opt.seed), cfg)
+    if opt.continue_train and ckpt.latest_exists(run_dir, opt.epoch):
+        state = ckpt.restore_checkpoint(state, run_dir, opt.epoch)
+        print(f"resumed from {run_dir}/{opt.epoch} at step {int(state.step)}")
+    state = replicate_state(state, mesh)
+
+    total_iters = 0
+    done = False
+    for epoch in range(opt.epoch_count, opt.n_epochs + opt.n_epochs_decay + 1):
+        epoch_start = time.time()
+        lr = opt.lr * linear_lr_scale(epoch, opt.epoch_count, opt.n_epochs, opt.n_epochs_decay)
+        print(f"learning rate {lr:.7f} for epoch {epoch}")
+        epoch_iter = 0
+        iter_data_time = time.time()
+        for batch in dataset:
+            iter_start = time.time()
+            t_data = iter_start - iter_data_time
+            total_iters += opt.batch_size
+            epoch_iter += opt.batch_size
+            sb = shard_batch(batch, mesh)
+            state, losses = train_step(state, sb, jnp.float32(lr), cfg)
+
+            if total_iters % opt.print_freq < opt.batch_size:
+                host_losses = {k: float(v) for k, v in losses.items()}
+                t_comp = (time.time() - iter_start) / opt.batch_size
+                visualizer.print_current_losses(epoch, epoch_iter, host_losses, t_comp, t_data)
+                visualizer.log_scalars("train", host_losses, total_iters)
+
+            if total_iters % opt.save_latest_freq < opt.batch_size:
+                tag = f"iter_{total_iters}" if opt.save_by_iter else "latest"
+                ckpt.save_checkpoint(state, run_dir, tag)
+            iter_data_time = time.time()
+            if max_steps is not None and int(state.step) >= max_steps:
+                done = True
+                break
+
+        if epoch % opt.save_epoch_freq == 0 or done:
+            ckpt.save_checkpoint(state, run_dir, "latest")
+            ckpt.save_checkpoint(state, run_dir, epoch)
+
+        if eval_dataset is not None and epoch % getattr(opt, "eval_freq", 15) == 0:
+            avg = evaluate_model(
+                state.g_params, state.g_sn, eval_dataset, cfg,
+                out_dir=os.path.join(run_dir, "eval_imgs"), epoch=epoch,
+            )
+            if avg:
+                visualizer.log_scalars("eval", avg, epoch)
+                print(
+                    f"epoch[{epoch}] SSIM: {avg['ssim']:.4f} PSNR: {avg['psnr']:.2f} "
+                    f"Dice: {avg['dice']:.4f} IoU: {avg['iou']:.4f} DiffH: {avg['diff_h']:.2f}"
+                )
+        print(
+            f"End of epoch {epoch} / {opt.n_epochs + opt.n_epochs_decay} \t "
+            f"Time Taken: {int(time.time() - epoch_start)} sec"
+        )
+        if done:
+            break
+    return state, cfg

@@ -1,0 +1,99 @@
+"""Observability: console + loss_log.txt, JSONL metric sink, HTML galleries.
+
+Replaces the reference's visdom/wandb/dominate/tensorboardX stack
+(/root/reference/util/visualizer.py, util/html.py) with dependency-free
+equivalents: the loss-log format matches visualizer.py:241-257 so existing
+log parsers keep working; galleries are plain HTML.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict
+
+import numpy as np
+
+
+def tensor2im(x, lo=-1.0, hi=1.0):
+    """[-1,1] (or [0,1]) float image -> uint8 (util/util.py:9-29)."""
+    x = np.asarray(x)
+    if x.ndim == 3 and x.shape[-1] == 1:
+        x = x[:, :, 0]
+    x = (x - lo) / (hi - lo)
+    return (np.clip(x, 0, 1) * 255).astype(np.uint8)
+
+
+class Visualizer:
+    def __init__(self, opt):
+        self.opt = opt
+        self.run_dir = os.path.join(opt.checkpoints_dir, opt.name)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.log_name = os.path.join(self.run_dir, "loss_log.txt")
+        self.metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
+        with open(self.log_name, "a") as f:
+            f.write(
+                f"================ Training Loss ({time.strftime('%c')}) ================\n"
+            )
+
+    def print_current_losses(self, epoch, iters, losses: Dict[str, float], t_comp, t_data):
+        """Format parity with util/visualizer.py:241-257."""
+        message = f"(epoch: {epoch}, iters: {iters}, time: {t_comp:.3f}, data: {t_data:.3f}) "
+        for k, v in losses.items():
+            message += f"{k}: {float(v):.3f} "
+        print(message)
+        with open(self.log_name, "a") as f:
+            f.write(message + "\n")
+
+    def log_scalars(self, tag: str, scalars: Dict[str, float], step: int):
+        """tensorboardX replacement: append-only JSONL of scalar metrics."""
+        rec = {"tag": tag, "step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+class HTMLGallery:
+    """Minimal dominate/HTML replacement (util/html.py:6-86)."""
+
+    def __init__(self, web_dir: str, title: str):
+        self.web_dir = web_dir
+        self.img_dir = os.path.join(web_dir, "images")
+        os.makedirs(self.img_dir, exist_ok=True)
+        self.title = title
+        self.rows = []
+
+    def add_images(self, ims, txts, width=256):
+        self.rows.append((list(ims), list(txts), width))
+
+    def save(self):
+        parts = [
+            f"<!DOCTYPE html><html><head><title>{self.title}</title></head><body>",
+            f"<h1>{self.title}</h1>",
+        ]
+        for ims, txts, width in self.rows:
+            parts.append("<table border='1' style='border-collapse:collapse'><tr>")
+            for im, txt in zip(ims, txts):
+                parts.append(
+                    f"<td style='text-align:center'><img src='images/{im}' "
+                    f"width='{width}'><br>{txt}</td>"
+                )
+            parts.append("</tr></table>")
+        parts.append("</body></html>")
+        with open(os.path.join(self.web_dir, "index.html"), "w") as f:
+            f.write("\n".join(parts))
+
+
+def save_images(gallery: HTMLGallery, visuals: Dict[str, np.ndarray], name: str, width=256):
+    """Write one result row (util/visualizer.py:21-52)."""
+    from PIL import Image
+
+    ims, txts = [], []
+    for label, im in visuals.items():
+        arr = tensor2im(im) if im.min() < 0 else tensor2im(im, 0.0, 1.0)
+        fname = f"{name}_{label}.png"
+        Image.fromarray(arr).save(os.path.join(gallery.img_dir, fname))
+        ims.append(fname)
+        txts.append(label)
+    gallery.add_images(ims, txts, width)

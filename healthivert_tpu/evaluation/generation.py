@@ -1,0 +1,142 @@
+"""Generation-quality metrics: 3D IoU/Dice/RVD + patch & global PSNR/SSIM.
+
+Parity with /root/reference/evaluation/generation_eval_sagittal.py:11-111
+(and the coronal variant's axis-1 slicing): metrics on val-normal vertebrae
+only, slices restricted to the central 4/5 with > 400 foreground px, patch
+metrics on rows cropped to the vertebra extent, skimage-default SSIM
+(implemented in ops.image since skimage is unavailable).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from healthivert_tpu.ops import image as I
+from healthivert_tpu.utils import nifti
+
+
+def calculate_iou(a, b):
+    inter = np.sum(a * b)
+    union = np.sum((a + b) > 0)
+    return inter / union if union else 0.0
+
+
+def calculate_dice(a, b):
+    inter = np.sum(a * b)
+    union = np.sum(a) + np.sum(b)
+    return 2.0 * inter / union if union else 0.0
+
+
+def relative_volume_difference(a, b):
+    va, vb = np.sum(a), np.sum(b)
+    return abs(va - vb) / va if va else 0.0
+
+
+def _ssim(a, b, dr):
+    if dr <= 0 or min(a.shape) < 7:
+        return np.nan
+    return float(I.ssim(jnp.asarray(a), jnp.asarray(b), data_range=float(dr)))
+
+
+def _psnr(a, b, dr):
+    if dr <= 0:
+        return np.nan
+    return float(I.psnr(jnp.asarray(a), jnp.asarray(b), data_range=float(dr)))
+
+
+def _slice_at(vol, z, axis):
+    return vol[:, :, z] if axis == 2 else vol[:, z, :]
+
+
+def process_images(ori_ct_path, fake_ct_path, ori_seg_path, fake_seg_path, axis=2) -> Dict[str, float]:
+    ori_ct = nifti.load(ori_ct_path).get_fdata()
+    fake_ct = nifti.load(fake_ct_path).get_fdata()
+    vid = int(os.path.basename(ori_seg_path)[: -len(".nii.gz")].split("_")[-1])
+    ori_seg = (nifti.load(ori_seg_path).get_fdata() == vid).astype(np.float64)
+    fake_seg = (nifti.load(fake_seg_path).get_fdata() == vid).astype(np.float64)
+
+    out = dict(
+        iou=calculate_iou(ori_seg, fake_seg),
+        dice=calculate_dice(ori_seg, fake_seg),
+        rvd=relative_volume_difference(ori_seg, fake_seg),
+    )
+
+    loc = np.where(ori_seg)[axis]
+    z0, z1 = int(loc.min()), int(loc.max())
+    range_length = z1 - z0 + 1
+    new_len = int(range_length * 4 / 5)
+    nz0 = z0 + (range_length - new_len) // 2
+    nz1 = nz0 + new_len - 1
+
+    patch_psnr, patch_ssim, glob_psnr, glob_ssim = [], [], [], []
+    for z in range(nz0, nz1 + 1):
+        seg_sl = _slice_at(ori_seg, z, axis)
+        if seg_sl.sum() <= 400:
+            continue
+        rows = np.argwhere(seg_sl)[:, 0]
+        x1, x2 = int(rows.min()), int(rows.max())
+        co = _slice_at(ori_ct, z, axis)[x1 : x2 + 1]
+        cf = _slice_at(fake_ct, z, axis)[x1 : x2 + 1]
+        dr = co.max() - co.min()
+        p, s = _psnr(co, cf, dr), _ssim(co, cf, dr)
+        if not np.isnan(p):
+            patch_psnr.append(p)
+        if not np.isnan(s):
+            patch_ssim.append(s)
+
+        go = _slice_at(ori_ct, z, axis)
+        gf = _slice_at(fake_ct, z, axis)
+        dr = go.max() - go.min()
+        p, s = _psnr(go, gf, dr), _ssim(go, gf, dr)
+        if not np.isnan(p):
+            glob_psnr.append(p)
+        if not np.isnan(s):
+            glob_ssim.append(s)
+
+    out.update(
+        patch_psnr=float(np.mean(patch_psnr)) if patch_psnr else 0.0,
+        patch_ssim=float(np.mean(patch_ssim)) if patch_ssim else 0.0,
+        global_psnr=float(np.mean(glob_psnr)) if glob_psnr else 0.0,
+        global_ssim=float(np.mean(glob_ssim)) if glob_ssim else 0.0,
+    )
+    return out
+
+
+def evaluate_experiment(
+    split: Dict[str, int],
+    ct_folder: str,
+    label_folder: str,
+    fake_folder: str,
+    output_txt: str = None,
+    axis: int = 2,
+    normal_only: bool = True,
+) -> Dict[str, float]:
+    """Average metrics over (val, normal) vertebrae of one experiment dir
+    (generation_eval_sagittal.py:114-162)."""
+    sums, n = {}, 0
+    for vertebra, grade in split.items():
+        if normal_only and int(grade) > 1:
+            continue
+        paths = dict(
+            ori_ct=os.path.join(ct_folder, vertebra + ".nii.gz"),
+            fake_ct=os.path.join(fake_folder, "CT_fake", vertebra + ".nii.gz"),
+            ori_seg=os.path.join(label_folder, vertebra + ".nii.gz"),
+            fake_seg=os.path.join(fake_folder, "label_fake", vertebra + ".nii.gz"),
+        )
+        if not all(os.path.exists(p) for p in paths.values()):
+            continue
+        m = process_images(paths["ori_ct"], paths["fake_ct"], paths["ori_seg"], paths["fake_seg"], axis)
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + v
+        n += 1
+    avg = {k: v / n for k, v in sums.items()} if n else {}
+    avg["count"] = n
+    if output_txt and avg:
+        with open(output_txt, "w") as f:
+            for k, v in avg.items():
+                f.write(f"{k}: {v}\n")
+    return avg

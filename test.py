@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Test CLI: run the generator over the test split and write an HTML gallery.
+
+Drop-in surface for /root/reference/test.py (batch 1, serial, no flip,
+results under {results_dir}/{name}/{phase}_{epoch}/index.html).
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from healthivert_tpu.config.options import TestOptions
+from healthivert_tpu.data import create_dataset
+from healthivert_tpu.engine import checkpoint as ckpt
+from healthivert_tpu.engine.visualizer import HTMLGallery, save_images
+from healthivert_tpu.models.pix2pix import (
+    Pix2PixConfig,
+    generator_forward,
+    build_modules,
+    init_state,
+)
+
+
+def main(argv=None):
+    opt = TestOptions().parse(argv)
+    # hard-coded test settings (reference test.py:45-48)
+    opt.num_threads = 0 or opt.num_threads
+    opt.batch_size = 1
+    opt.serial_batches = True
+    opt.no_flip = True
+
+    cfg = Pix2PixConfig(ngf=16, ndf=opt.ndf, image_size=opt.crop_size)
+    dataset = create_dataset(opt)
+    gen, _ = build_modules(cfg)
+
+    state = init_state(jax.random.PRNGKey(opt.seed), cfg)
+    run_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    if ckpt.latest_exists(run_dir, opt.epoch):
+        state = ckpt.restore_checkpoint(state, run_dir, opt.epoch)
+        print(f"loaded checkpoint {run_dir}/{opt.epoch}")
+    else:
+        print(f"warning: no checkpoint at {run_dir}/{opt.epoch}; using init weights")
+
+    web_dir = os.path.join(opt.results_dir, opt.name, f"{opt.phase}_{opt.epoch}")
+    gallery = HTMLGallery(web_dir, f"Experiment = {opt.name}, Phase = {opt.phase}, Epoch = {opt.epoch}")
+
+    for i, batch in enumerate(dataset):
+        if i >= opt.num_test:
+            break
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        f = generator_forward(gen, state.g_params, state.g_sn, jb, cfg, update_sn=False)
+        visuals = {
+            "real_A": jb["context"][0],
+            "fake_B": f["fake_b"][0],
+            "real_B": jb["full"][0],
+            "fake_B_mask": f["fine_seg_bin"][0],
+            "real_B_mask": jb["vert_seg"][0],
+            "coarse_seg": f["coarse_seg_bin"][0],
+        }
+        import numpy as np
+
+        save_images(gallery, {k: np.asarray(v) for k, v in visuals.items()}, f"{i:04d}",
+                    width=opt.display_winsize)
+        if i % 5 == 0:
+            print(f"processing ({i:04d})-th image...")
+    gallery.save()
+    print(f"wrote {web_dir}/index.html")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

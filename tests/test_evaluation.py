@@ -1,0 +1,96 @@
+"""RHLV + grading + generation metrics on synthetic spines with known truth."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from healthivert_tpu.data.synthetic import make_spine_volume
+from healthivert_tpu.evaluation.generation import evaluate_experiment
+from healthivert_tpu.evaluation.grading import FEATURES_SAGITTAL, evaluate_svm
+from healthivert_tpu.evaluation.rhlv import calculate_rhlv, process_datasets, write_rows
+from healthivert_tpu.utils import nifti
+
+
+def _volumes(rng, frac):
+    """healthy (fake) + fractured (label) volume pair for vertebra 20."""
+    healthy_ct, healthy_lb, _ = make_spine_volume(rng, fractured={})
+    frac_ct, frac_lb, _ = make_spine_volume(rng, fractured={20: frac})
+    return healthy_lb, frac_lb
+
+
+def test_rhlv_detects_compression(rng):
+    healthy_lb, frac_lb = _volumes(rng, 0.5)
+    fake = (healthy_lb == 20).astype(np.float64)  # synthesized pseudo-healthy
+    real = (frac_lb == 20).astype(np.float64)  # actual fractured
+    loc = np.where(real)[2]
+    center, length = int(loc.mean()), (loc.max() - loc.min()) // 5
+    a, p, m, po, rel = calculate_rhlv(fake, real, center, length)
+    # fractured anterior: fake taller than label -> positive RHLV, pre worst
+    assert a > 0.1, a
+    assert p > m > -0.05, (p, m, po)
+    # a healthy vertebra against itself -> ~0 everywhere
+    a0, p0, m0, po0, _ = calculate_rhlv(fake, fake, center, length)
+    assert abs(a0) < 1e-3 and abs(p0) < 1e-3
+
+
+def test_process_datasets_and_svm(tmp_path, rng):
+    # build a tiny cohort: grade 0 (healthy) and grade 2 (50% compression)
+    label_dir = tmp_path / "label"
+    fake_dir = tmp_path / "fake"
+    os.makedirs(label_dir)
+    os.makedirs(fake_dir)
+    split = {"train": {}, "test": {}, "val": {}}
+    idx = 0
+    for phase, n in (("train", 8), ("test", 4), ("val", 4)):
+        for i in range(n):
+            grade = 0 if i % 2 == 0 else 2
+            frac = 1.0 if grade == 0 else 0.5
+            healthy_ct, healthy_lb, _ = make_spine_volume(
+                rng, shape=(128, 128, 32), vert_ids=(19, 20, 21),
+                vert_height=18, gap=8, fractured={},
+            )
+            _, frac_lb, _ = make_spine_volume(
+                rng, shape=(128, 128, 32), vert_ids=(19, 20, 21),
+                vert_height=18, gap=8, fractured={20: frac},
+            )
+            pv = f"case{idx:03d}_20"
+            idx += 1
+            nifti.save(nifti.Nifti1Image(frac_lb), str(label_dir / f"{pv}.nii.gz"))
+            nifti.save(nifti.Nifti1Image(healthy_lb), str(fake_dir / f"{pv}.nii.gz"))
+            split[phase][pv] = grade
+
+    out = str(tmp_path / "rhlv.csv")
+    rows = process_datasets(split, str(label_dir), str(fake_dir), out)
+    assert len(rows) == 16
+    # fractured cases must show materially higher RHLV
+    frac_rhlv = [r["All RHLV"] for r in rows if r["Label"] == 2]
+    heal_rhlv = [r["All RHLV"] for r in rows if r["Label"] == 0]
+    assert min(frac_rhlv) > max(heal_rhlv) + 0.05
+
+    summary = evaluate_svm(out, FEATURES_SAGITTAL, str(tmp_path / "grading.txt"))
+    # trivially separable cohort -> perfect grading
+    assert summary["f1"]["mean"] > 0.99, summary
+    assert (tmp_path / "grading.txt").read_text().startswith("Fold 1:")
+
+
+def test_generation_eval_identity(tmp_path, rng):
+    ct, lb, _ = make_spine_volume(rng, shape=(128, 128, 32), vert_ids=(19, 20, 21),
+                                  vert_height=18, gap=8)
+    for d in ("CT", "label", "exp/CT_fake", "exp/label_fake"):
+        os.makedirs(tmp_path / d)
+    pv = "case000_20"
+    nifti.save(nifti.Nifti1Image(ct.astype(np.float32)), str(tmp_path / "CT" / f"{pv}.nii.gz"))
+    nifti.save(nifti.Nifti1Image(lb), str(tmp_path / "label" / f"{pv}.nii.gz"))
+    nifti.save(nifti.Nifti1Image(ct.astype(np.float32)), str(tmp_path / "exp/CT_fake" / f"{pv}.nii.gz"))
+    nifti.save(nifti.Nifti1Image(lb), str(tmp_path / "exp/label_fake" / f"{pv}.nii.gz"))
+    avg = evaluate_experiment(
+        {pv: 0}, str(tmp_path / "CT"), str(tmp_path / "label"), str(tmp_path / "exp"),
+    )
+    assert avg["count"] == 1
+    assert avg["iou"] == pytest.approx(1.0)
+    assert avg["dice"] == pytest.approx(1.0)
+    assert avg["rvd"] == 0.0
+    assert avg["global_ssim"] == pytest.approx(1.0, abs=1e-5)
+    assert avg["patch_psnr"] > 60

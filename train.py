@@ -1,0 +1,31 @@
+#!/usr/bin/env python
+"""Training CLI, drop-in surface for /root/reference/train.py.
+
+Example (reference README.md:111-118):
+    python train.py --dataroot ./datasets/straightened --name exp \
+        --model pix2pix --direction BtoA --batch_size 16 --n_epochs 1000
+
+Hermetic run without data: add --dataset_mode synthetic.
+"""
+
+import sys
+
+from healthivert_tpu.config.options import TrainOptions, TestOptions
+from healthivert_tpu.engine.train_loop import run_training
+
+
+def main(argv=None):
+    opt = TrainOptions().parse(argv)
+
+    # second parse for the in-training eval split (reference train.py:173-177)
+    # known_only: ignore train-only flags when re-parsing for the eval split
+    opt_test = TestOptions().parse(argv, save=False, known_only=True)
+    opt_test.batch_size = 5
+    opt_test.serial_batches = True
+    opt_test.phase = "test"
+    opt_test.isTrain = False
+    return run_training(opt, opt_test)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
