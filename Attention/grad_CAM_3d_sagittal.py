@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""HGAM heatmap generation: train/apply the fracture classifier and write
+per-vertebra Grad-CAM++ heatmap NIfTIs.
+
+The reference README invokes a script of this name (README.md:99) whose
+source is not in the repo; its OUTPUTS are consumed by the dataset
+(aligned_dataset.py:162-171: {pv}_0/.._1/.. .nii.gz, values in [0, 1]).
+This is a ground-up implementation (SURVEY.md §2.2).
+
+    # train the classifier on a straightened dataset + split json:
+    python Attention/grad_CAM_3d_sagittal.py train --dataroot <dir> \
+        --split vertebra_data.json --out <ckpt-dir> [--steps 500]
+    # generate heatmaps:
+    python Attention/grad_CAM_3d_sagittal.py generate --dataroot <dir> \
+        --split vertebra_data.json --ckpt <ckpt-dir> --out <heatmap-dir>
+
+Heatmaps are written as {pv}_{cls}.nii.gz where cls is the classifier's
+predicted class (0 normal / 1 fractured), matching the reference lookup.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def _slices_for(ct, labels, vert_id, size=256):
+    """Central-4/5 sagittal slices of a vertebra, normalized to [-1, 1]."""
+    vert = labels == vert_id
+    zs = np.nonzero(vert.any(axis=(0, 1)))[0]
+    if zs.size == 0:
+        return None, None
+    z0, z1 = int(zs.min()), int(zs.max())
+    n = z1 - z0 + 1
+    lo = z0 + (n - int(n * 4 / 5)) // 2
+    hi = lo + int(n * 4 / 5)
+    idx = list(range(lo, max(hi, lo + 1)))
+    sl = ct[:, :, idx].astype(np.float32) / 255.0 * 2 - 1
+    return np.moveaxis(sl, -1, 0)[..., None], idx  # (N, H, W, 1)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("mode", choices=["train", "generate"])
+    p.add_argument("--dataroot", required=True)
+    p.add_argument("--split", default="vertebra_data.json")
+    p.add_argument("--phase", default="train")
+    p.add_argument("--out", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from healthivert_tpu.engine import checkpoint as ckpt_io
+    from healthivert_tpu.models.hgam import (
+        FractureClassifier,
+        classifier_train_step,
+        grad_cam_pp,
+    )
+    from healthivert_tpu.utils import nifti
+
+    with open(args.split) as f:
+        split = json.load(f)
+
+    model = FractureClassifier()
+    rng = np.random.default_rng(args.seed)
+
+    def load_pv(pv):
+        ct = nifti.load(os.path.join(args.dataroot, "CT", pv + ".nii.gz")).get_fdata()
+        lb = nifti.load(os.path.join(args.dataroot, "label", pv + ".nii.gz")).get_fdata()
+        return ct, lb
+
+    if args.mode == "train":
+        items = [
+            (pv, 1 if int(g) > 1 else 0)
+            for pv, g in split[args.phase].items()
+            if os.path.exists(os.path.join(args.dataroot, "CT", pv + ".nii.gz"))
+        ]
+        if not items:
+            raise SystemExit("no training volumes found")
+        params = model.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 256, 256, 1)))
+        opt_state = optax.scale_by_adam().init(params)
+        for step in range(args.steps):
+            xs, ys = [], []
+            while len(xs) < args.batch:
+                pv, y = items[rng.integers(len(items))]
+                ct, lb = load_pv(pv)
+                sl, _ = _slices_for(ct, lb, int(pv.rsplit("_", 1)[1]))
+                if sl is None:
+                    continue
+                xs.append(sl[rng.integers(len(sl))])
+                ys.append(y)
+            params, opt_state, loss, acc = classifier_train_step(
+                model, params, opt_state,
+                jnp.asarray(np.stack(xs)), jnp.asarray(np.array(ys)), jnp.float32(args.lr),
+            )
+            if step % 50 == 0:
+                print(f"step {step}: loss {float(loss):.4f} acc {float(acc):.3f}")
+        ckpt_io.save_checkpoint(params, args.out, "classifier")
+        print(f"saved classifier to {args.out}/classifier")
+        return
+
+    # generate
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 1)))
+    if args.ckpt and ckpt_io.latest_exists(args.ckpt, "classifier"):
+        params = ckpt_io.restore_checkpoint(params, args.ckpt, "classifier")
+        print(f"loaded classifier from {args.ckpt}/classifier")
+    else:
+        print("warning: no classifier checkpoint; heatmaps from init weights")
+    os.makedirs(args.out, exist_ok=True)
+    pvs = [
+        pv for phase in split.values() for pv in phase
+        if os.path.exists(os.path.join(args.dataroot, "CT", pv + ".nii.gz"))
+    ]
+    for pv in sorted(set(pvs)):
+        ct_img = nifti.load(os.path.join(args.dataroot, "CT", pv + ".nii.gz"))
+        ct, lb = ct_img.get_fdata(), load_pv(pv)[1]
+        sl, idx = _slices_for(ct, lb, int(pv.rsplit("_", 1)[1]))
+        if sl is None:
+            continue
+        x = jnp.asarray(sl)
+        logits = model.apply(params, x)
+        cls = int(jnp.mean(jnp.argmax(logits, -1) + 0.0) > 0.5)
+        cams = np.asarray(grad_cam_pp(model, params, x, target_class=1))
+        vol = np.zeros_like(ct, np.float32)
+        for k, z in enumerate(idx):
+            vol[:, :, z] = cams[k, :, :, 0]
+        nifti.save(
+            nifti.Nifti1Image(vol, ct_img.affine),
+            os.path.join(args.out, f"{pv}_{cls}.nii.gz"),
+        )
+        print(f"{pv}: class {cls}, {len(idx)} slices")
+
+
+if __name__ == "__main__":
+    main()
