@@ -28,7 +28,13 @@ from healthivert_tpu.utils import nifti
 
 
 def main(argv=None):
-    opt = TestOptions().parse(argv)
+    import argparse
+
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--axis", choices=["sagittal", "coronal"], default="sagittal")
+    ns, rest = pre.parse_known_args(argv)
+    axis = 2 if ns.axis == "sagittal" else 1
+    opt = TestOptions().parse(rest)
     cfg = Pix2PixConfig(ngf=16, image_size=opt.crop_size)
 
     state = init_state(jax.random.PRNGKey(opt.seed), cfg)
@@ -63,7 +69,7 @@ def main(argv=None):
 
         ct_fake, lb_fake = synthesize_volume(
             state.g_params, state.g_sn, cfg,
-            ct_img.get_fdata(), lb_img.get_fdata(), vert_id, cam,
+            ct_img.get_fdata(), lb_img.get_fdata(), vert_id, cam, axis=axis,
         )
         nifti.save(nifti.Nifti1Image(ct_fake.astype(np.float32), ct_img.affine),
                    os.path.join(out_ct, fname))

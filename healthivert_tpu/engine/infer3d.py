@@ -26,14 +26,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from healthivert_tpu.data.sampler import remove_small_cc
-from healthivert_tpu.models.pix2pix import Pix2PixConfig, build_modules
+from healthivert_tpu.models.pix2pix import Pix2PixConfig
 
 MAXHEIGHT = 40
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_bf16"))
-def _forward(g_params, g_sn, context, mask, cam, ratio, cfg: Pix2PixConfig, use_bf16=True):
-    gen, _ = build_modules(cfg)
+@functools.partial(jax.jit, static_argnames=("cfg", "use_bf16", "use_pallas"))
+def _forward(g_params, g_sn, context, mask, cam, ratio, cfg: Pix2PixConfig,
+             use_bf16=True, use_pallas=False):
+    from healthivert_tpu.models.generator import Generator
+
+    gen = Generator(cnum=cfg.ngf, use_pallas_attention=use_pallas)
     if use_bf16:
         context = context.astype(jnp.bfloat16)
         mask = mask.astype(jnp.bfloat16)
@@ -116,8 +119,12 @@ def _reassemble(geo, x_stage2, fine_seg_bin, pred_h, ct_sl, label_sl, vert_id):
     return fake, seg, height
 
 
-def _run_pass(g_params, g_sn, cfg, jobs, ratios, batch_size=32, use_bf16=True):
+def _run_pass(g_params, g_sn, cfg, jobs, ratios, batch_size=32, use_bf16=True,
+              use_pallas=None):
     """Batched forward over a list of geometry jobs; returns per-job outputs."""
+    if use_pallas is None:
+        # the fused kernel is TPU-only (interpret mode is for tests)
+        use_pallas = jax.default_backend() == "tpu"
     if not jobs:
         return []
     s = cfg.image_size
@@ -135,7 +142,9 @@ def _run_pass(g_params, g_sn, cfg, jobs, ratios, batch_size=32, use_bf16=True):
         x = jnp.asarray(ctx.astype(np.float32) / 255.0 * 2 - 1)[..., None]
         m = jnp.asarray(msk.astype(np.float32))[..., None]
         c = jnp.asarray(cam.astype(np.float32) / 255.0)[..., None]
-        x2_, seg, ph = _forward(g_params, g_sn, x, m, c, jnp.asarray(rat), cfg, use_bf16)
+        x2_, seg, ph = _forward(
+            g_params, g_sn, x, m, c, jnp.asarray(rat), cfg, use_bf16, use_pallas
+        )
         x2_, seg, ph = np.asarray(x2_), np.asarray(seg), np.asarray(ph)
         for k in range(len(chunk)):
             outs.append((x2_[k, :, :, 0], seg[k, :, :, 0], float(ph[k])))
@@ -152,12 +161,22 @@ def synthesize_volume(
     cam_vol: Optional[np.ndarray] = None,
     batch_size: int = 32,
     use_bf16: bool = True,
+    axis: int = 2,
 ):
     """Synthesize the pseudo-healthy target vertebra across all central slices.
+
+    axis=2 iterates sagittal slices (reference behavior); axis=1 iterates
+    coronal slices (the 2.5D fusion's second view — the reference's coronal
+    driver is not shipped; slices keep rows = the vertebra height axis).
     Returns (ct_fake, label_fake) volumes (zeros outside the processed range)."""
+
+    def sl(vol, z):
+        return vol[:, :, z] if axis == 2 else vol[:, z, :]
+
     cam_vol = cam_vol if cam_vol is not None else np.zeros_like(ct_vol, np.float32)
     vert = label_vol == vert_id
-    zs = np.nonzero(vert.any(axis=(0, 1)))[0]
+    other_axes = (0, 1) if axis == 2 else (0, 2)
+    zs = np.nonzero(vert.any(axis=other_axes))[0]
     if zs.size == 0:
         return np.zeros_like(ct_vol), np.zeros_like(ct_vol)
     z0, z1 = int(zs.min()), int(zs.max())
@@ -170,8 +189,8 @@ def synthesize_volume(
     ratios = {z: abs(z - center) / range_length * 2 for z in z_list}
 
     # evolving per-slice state
-    ct_state = {z: ct_vol[:, :, z].astype(np.float64) for z in z_list}
-    lb_state = {z: label_vol[:, :, z].astype(np.float64) for z in z_list}
+    ct_state = {z: sl(ct_vol, z).astype(np.float64) for z in z_list}
+    lb_state = {z: sl(label_vol, z).astype(np.float64) for z in z_list}
 
     # three passes: upper neighbor, lower neighbor, target
     for which, nb in (("upper", -1), ("lower", +1), ("target", 0)):
@@ -200,6 +219,10 @@ def synthesize_volume(
     ct_fake = np.zeros_like(ct_vol, np.float64)
     lb_fake = np.zeros_like(ct_vol, np.float64)
     for z in z_list:
-        ct_fake[:, :, z] = ct_state[z]
-        lb_fake[:, :, z] = lb_state[z]
+        if axis == 2:
+            ct_fake[:, :, z] = ct_state[z]
+            lb_fake[:, :, z] = lb_state[z]
+        else:
+            ct_fake[:, z, :] = ct_state[z]
+            lb_fake[:, z, :] = lb_state[z]
     return ct_fake, lb_fake

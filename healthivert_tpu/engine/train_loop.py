@@ -24,10 +24,33 @@ from healthivert_tpu.models.pix2pix import (
 from healthivert_tpu.parallel import make_mesh, replicate_state, shard_batch
 from . import checkpoint as ckpt
 from .evaluate import evaluate_model
-from .visualizer import Visualizer
+from .visualizer import HTMLGallery, Visualizer, save_images
 
 
-def run_training(opt, opt_test=None, max_steps=None):
+def _save_web_visuals(state, batch, cfg, run_dir, epoch, iters):
+    """Training-time HTML gallery (reference visdom/HTML panels,
+    train.py:200-203): context / fake / real / seg rows under {run}/web."""
+    import numpy as np
+
+    from healthivert_tpu.models.pix2pix import build_modules, generator_forward
+
+    gen, _ = build_modules(cfg)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    f = generator_forward(gen, state.g_params, state.g_sn, jb, cfg, update_sn=False)
+    gallery = HTMLGallery(os.path.join(run_dir, "web"), f"epoch {epoch}")
+    visuals = {
+        "real_A": np.asarray(jb["context"][0]),
+        "fake_B": np.asarray(f["fake_b"][0]),
+        "real_B": np.asarray(jb["full"][0]),
+        "fake_B_mask": np.asarray(f["fine_seg_bin"][0]),
+        "coarse_seg": np.asarray(f["coarse_seg_bin"][0]),
+        "CAM": np.asarray(jb["cam"][0]),
+    }
+    save_images(gallery, visuals, f"epoch{epoch:03d}_{iters:07d}")
+    gallery.save()
+
+
+def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
     """Main entry (train.py CLI). Returns the final TrainState."""
     cfg = Pix2PixConfig(
         ngf=16,
@@ -79,13 +102,22 @@ def run_training(opt, opt_test=None, max_steps=None):
             total_iters += opt.batch_size
             epoch_iter += opt.batch_size
             sb = shard_batch(batch, mesh)
+            if profile_steps and int(state.step) == profile_steps[0]:
+                jax.profiler.start_trace(os.path.join(run_dir, "profile"))
             state, losses = train_step(state, sb, jnp.float32(lr), cfg)
+            if profile_steps and int(state.step) == profile_steps[1]:
+                jax.tree_util.tree_map(lambda a: a.block_until_ready(), losses)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {run_dir}/profile")
 
             if total_iters % opt.print_freq < opt.batch_size:
                 host_losses = {k: float(v) for k, v in losses.items()}
                 t_comp = (time.time() - iter_start) / opt.batch_size
                 visualizer.print_current_losses(epoch, epoch_iter, host_losses, t_comp, t_data)
                 visualizer.log_scalars("train", host_losses, total_iters)
+
+            if getattr(opt, "display_freq", 0) and total_iters % opt.display_freq < opt.batch_size:
+                _save_web_visuals(state, batch, cfg, run_dir, epoch, total_iters)
 
             if total_iters % opt.save_latest_freq < opt.batch_size:
                 tag = f"iter_{total_iters}" if opt.save_by_iter else "latest"

@@ -99,10 +99,14 @@ class FineGenerator(nn.Module):
     [x, coarse_seg, mask, slice_ratio]; attention runs at H/4 features; the
     merged trunk carries the second SHRM head; stage-1 CT is concatenated
     right before the two output heads.
+
+    use_pallas_attention fuses the attention score pipeline into a VMEM-
+    resident Pallas kernel — inference only (no VJP registered).
     """
 
     cnum: int = 16
     dtype: Any = None
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, xin, x_stage1, mask, coarse_seg, slice_ratio):
@@ -136,7 +140,8 @@ class FineGenerator(nn.Module):
         a = g(c * 4, 3, 1, 1, name="pmconv5")(a)
         a = g(c * 4, 3, 1, 1, act="relu", name="pmconv6")(a)
         att = contextual_attention(
-            a, a, mask, ksize=3, stride=1, rate=2, softmax_scale=10.0, fuse=True
+            a, a, mask, ksize=3, stride=1, rate=2, softmax_scale=10.0, fuse=True,
+            use_pallas=self.use_pallas_attention,
         )
         a = g(c * 4, 3, 1, 1, name="pmconv9")(att.y)
         pm = g(c * 4, 3, 1, 1, name="pmconv10")(a)
@@ -172,6 +177,7 @@ class Generator(nn.Module):
 
     cnum: int = 16  # reference trains with ngf=16 (pix2pix_model.py:103)
     dtype: Any = None
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x, mask, cam, slice_ratio) -> GeneratorOut:
@@ -179,7 +185,8 @@ class Generator(nn.Module):
             self.cnum, self.dtype, name="coarse_generator"
         )(x, mask, cam, slice_ratio)
         fine_seg, x_stage2, offsets, pred2_h = FineGenerator(
-            self.cnum, self.dtype, name="fine_generator"
+            self.cnum, self.dtype, name="fine_generator",
+            use_pallas_attention=self.use_pallas_attention,
         )(x, x_stage1, mask, coarse_seg, slice_ratio)
         return GeneratorOut(
             coarse_seg, fine_seg, x_stage1, x_stage2, offsets, pred1_h, pred2_h

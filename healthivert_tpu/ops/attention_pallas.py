@@ -1,0 +1,211 @@
+"""Pallas TPU kernel for the contextual-attention score pipeline.
+
+The XLA path (ops.contextual_attention) materializes the (B, L, P) f32 score
+tensor in HBM for every stage (matmul, two fuse passes, softmax, paste) —
+~270 MB per pass at B=64, measured 3-6 ms per stage. This kernel keeps the
+whole per-sample pipeline VMEM-resident: one program per batch item, row
+tiles of 128, manual HBM->VMEM DMA for the inputs so nothing is double
+buffered:
+
+    S  = Wn @ F^T                  (MXU, bf16 in / f32 accum, row-tiled)
+    B2 = fuse1(S)                  (diagonal shifted adds, halo'd row tiles)
+    S  = fuse2(B2)                 (permuted +-wd shifts of the transposed
+                                    flatten, expressed as static concats)
+    S  = exp(S * g * scale - max)  (two-pass column softmax, in place)
+    out= (S / sum * g)^T @ raw     (MXU, output tiles DMA'd to HBM)
+
+VMEM high-water ~13.5 MB for the sagittal shape (L = P = 1024, K = 576,
+RC = 1024). Numerics match the XLA path (same fuse flatten quirks as the
+reference convs). Forward-only: the training path keeps the XLA formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _roll(t, shift, axis, interpret):
+    """Circular shift: out[i] = t[i - shift] (jnp.roll semantics)."""
+    if interpret:
+        return jnp.roll(t, shift, axis)
+    return pltpu.roll(t, shift, axis)
+
+
+def _cols(t):
+    return jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+
+
+def _col_shift(t, k, interpret):
+    """out[:, j] = t[:, j + k] with zero fill (lane shift via roll + mask)."""
+    m = t.shape[1]
+    rolled = _roll(t, -k, 1, interpret)
+    c = _cols(t)
+    if k >= 0:
+        return jnp.where(c < m - k, rolled, 0.0)
+    return jnp.where(c >= -k, rolled, 0.0)
+
+
+def _col_perm_plus(t, n, interpret):
+    """out[:, c] = t[:, sigma_plus(c)]: t[c+n] below the wrap, t[c+n-m+1] in
+    the wrap region [m-n, m-1), zero at c = m-1."""
+    m = t.shape[1]
+    c = _cols(t)
+    main = _roll(t, -n, 1, interpret)
+    wrap = _roll(t, -(n - 1), 1, interpret)
+    return jnp.where(c < m - n, main, jnp.where(c < m - 1, wrap, 0.0))
+
+
+def _col_perm_minus(t, n, interpret):
+    """out[:, c] = t[:, sigma_minus(c)]: zero at c = 0, t[c+m-n-1] in the
+    wrap region [1, n), t[c-n] for c >= n."""
+    m = t.shape[1]
+    c = _cols(t)
+    main = _roll(t, n, 1, interpret)
+    wrap = _roll(t, n + 1, 1, interpret)
+    return jnp.where(c >= n, main, jnp.where(c >= 1, wrap, 0.0))
+
+
+def _attention_kernel(hd, wd, scale, r_tile, interpret,
+                      f_hbm, w_hbm, raw_hbm, mm_hbm, out_hbm,
+                      f_s, w_s, raw_s, mm_s, s_ref, b_ref, out_t, sems):
+    b = pl.program_id(0)
+    num_l = hd * wd
+    nt = num_l // r_tile
+
+    cp_f = pltpu.make_async_copy(f_hbm.at[b], f_s, sems.at[0])
+    cp_w = pltpu.make_async_copy(w_hbm.at[b], w_s, sems.at[1])
+    cp_r = pltpu.make_async_copy(raw_hbm.at[b], raw_s, sems.at[2])
+    cp_m = pltpu.make_async_copy(mm_hbm.at[b], mm_s, sems.at[3])
+    cp_f.start(); cp_w.start(); cp_r.start(); cp_m.start()
+    cp_f.wait(); cp_w.wait(); cp_m.wait()
+
+    # --- scores: S[t] = W[t] @ F^T (contract K), row-tiled ---
+    for t in range(nt):
+        r0 = t * r_tile
+        s_ref[r0 : r0 + r_tile, :] = jax.lax.dot_general(
+            w_s[r0 : r0 + r_tile, :], f_s[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # --- fuse1: B2[i, j] = S[i-1, j-1] + S[i, j] + S[i+1, j+1] ---
+    for t in range(nt):
+        r0 = t * r_tile
+        cur = s_ref[r0 : r0 + r_tile, :]
+        up = (  # rows r0-1 .. r0+r_tile-2
+            jax.lax.concatenate(
+                [jnp.zeros_like(cur[:1]), s_ref[0 : r_tile - 1, :]], 0)
+            if t == 0 else s_ref[r0 - 1 : r0 + r_tile - 1, :]
+        )
+        dn = (  # rows r0+1 .. r0+r_tile
+            jax.lax.concatenate(
+                [s_ref[r0 + 1 : num_l, :], jnp.zeros_like(cur[:1])], 0)
+            if t == nt - 1 else s_ref[r0 + 1 : r0 + r_tile + 1, :]
+        )
+        up_sh = _col_shift(up, -1, interpret)  # (i-1, j-1)
+        dn_sh = _col_shift(dn, +1, interpret)  # (i+1, j+1)
+        b_ref[r0 : r0 + r_tile, :] = cur + up_sh + dn_sh
+
+    # --- fuse2: permuted +-wd diagonal adds in the transposed flatten ---
+    for t in range(nt):
+        r0 = t * r_tile
+        cur = b_ref[r0 : r0 + r_tile, :]
+        # plus rows: sigma_plus over [r0, r0+r_tile)
+        if r0 + r_tile + wd <= num_l:
+            plus = b_ref[r0 + wd : r0 + wd + r_tile, :]
+        else:
+            n_main = num_l - wd - r0  # rows with src r+wd in range
+            parts = []
+            if n_main > 0:
+                parts.append(b_ref[r0 + wd : num_l, :])
+            parts.append(b_ref[1:wd, :])  # wrap rows for r in [L-wd, L-1)
+            parts.append(jnp.zeros_like(cur[:1]))  # r = L-1 invalid
+            plus = jax.lax.concatenate(parts, 0)
+        # minus rows: sigma_minus over [r0, r0+r_tile)
+        if r0 >= wd:
+            minus = b_ref[r0 - wd : r0 - wd + r_tile, :]
+        else:
+            parts = [jnp.zeros_like(cur[:1])]  # r = 0 invalid
+            parts.append(b_ref[num_l - wd : num_l - 1, :])  # wrap r in [1, wd)
+            parts.append(b_ref[0 : r_tile - wd, :])
+            minus = jax.lax.concatenate(parts, 0)
+        s_ref[r0 : r0 + r_tile, :] = (
+            cur
+            + _col_perm_plus(plus, wd, interpret)
+            + _col_perm_minus(minus, wd, interpret)
+        )
+
+    # --- masked scaled softmax over rows (L), in place ---
+    g_rows = mm_s[:]  # (L, 1)
+    m = jnp.full((1, num_l), -jnp.inf, jnp.float32)
+    for t in range(nt):
+        r0 = t * r_tile
+        logits = s_ref[r0 : r0 + r_tile, :] * g_rows[r0 : r0 + r_tile] * scale
+        m = jnp.maximum(m, jnp.max(logits, axis=0, keepdims=True))
+    ssum = jnp.zeros((1, num_l), jnp.float32)
+    for t in range(nt):
+        r0 = t * r_tile
+        logits = s_ref[r0 : r0 + r_tile, :] * g_rows[r0 : r0 + r_tile] * scale
+        e = jnp.exp(logits - m)
+        ssum = ssum + jnp.sum(e, axis=0, keepdims=True)
+        s_ref[r0 : r0 + r_tile, :] = e
+
+    # --- paste: out[p] = sum_l probs[l, p] * raw[l, :] , p-tiled ---
+    cp_r.wait()
+    inv = 1.0 / ssum  # (1, P)
+    for t in range(nt):
+        p0 = t * r_tile
+        probs = s_ref[:, p0 : p0 + r_tile] * inv[:, p0 : p0 + r_tile] * g_rows
+        out_t[:] = jax.lax.dot_general(
+            probs, raw_s[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_t.dtype)
+        cp_o = pltpu.make_async_copy(out_t, out_hbm.at[b, p0 : p0 + r_tile, :], sems.at[4])
+        cp_o.start()
+        cp_o.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("hd", "wd", "scale", "interpret"))
+def attention_scores_paste(
+    fpat: jnp.ndarray,  # (B, P, K) unfolded foreground patches
+    wnorm: jnp.ndarray,  # (B, L, K) normalized background patches
+    raw: jnp.ndarray,  # (B, L, RC) raw patches for reconstruction
+    mm: jnp.ndarray,  # (B, L) availability gate
+    hd: int,
+    wd: int,
+    scale: float = 10.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns patch values (B, P, RC) = softmax-fused attention @ raw."""
+    b, num_p, k = fpat.shape
+    num_l = wnorm.shape[1]
+    rc = raw.shape[-1]
+    assert num_l == num_p == hd * wd
+    r_tile = 128 if num_l % 128 == 0 else num_l
+    kernel = functools.partial(_attention_kernel, hd, wd, scale, r_tile, interpret)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[any_spec] * 4,
+        out_specs=any_spec,
+        out_shape=jax.ShapeDtypeStruct((b, num_p, rc), fpat.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((num_p, k), fpat.dtype),  # f_s
+            pltpu.VMEM((num_l, k), wnorm.dtype),  # w_s
+            pltpu.VMEM((num_l, rc), raw.dtype),  # raw_s
+            pltpu.VMEM((num_l, 1), jnp.float32),  # mm_s
+            pltpu.VMEM((num_l, num_p), jnp.float32),  # s_ref
+            pltpu.VMEM((num_l, num_p), jnp.float32),  # b_ref
+            pltpu.VMEM((r_tile, rc), fpat.dtype),  # out tile staging
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(fpat, wnorm, raw, mm[..., None].astype(jnp.float32))

@@ -71,9 +71,26 @@ def _fuse_diag(y):
     return yp[:, :-2, :-2] + yp[:, 1:-1, 1:-1] + yp[:, 2:, 2:]
 
 
+def _perm(x, n, axis, direction):
+    """Gather x[sigma(i)] along axis, where sigma walks +-1 in the w-major
+    transposed flatten of an (n, n) grid (exact equivalent of the reference's
+    reshape/transpose around the second fuse conv; verified in tests)."""
+    m = x.shape[axis]
+    z = jnp.zeros_like(jax.lax.slice_in_dim(x, 0, 1, axis=axis))
+    if direction > 0:
+        main = jax.lax.slice_in_dim(x, n, m, axis=axis)
+        wrap = jax.lax.slice_in_dim(x, 1, n, axis=axis)
+        return jax.lax.concatenate([main, wrap, z], axis)
+    wrap = jax.lax.slice_in_dim(x, m - n, m - 1, axis=axis)
+    main = jax.lax.slice_in_dim(x, 0, m - n, axis=axis)
+    return jax.lax.concatenate([z, wrap, main], axis)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("ksize", "stride", "rate", "fuse_k", "fuse", "compute_offsets"),
+    static_argnames=(
+        "ksize", "stride", "rate", "fuse_k", "fuse", "compute_offsets", "use_pallas",
+    ),
 )
 def contextual_attention(
     f: jnp.ndarray,
@@ -86,6 +103,7 @@ def contextual_attention(
     softmax_scale: float = 10.0,
     fuse: bool = True,
     compute_offsets: bool = False,
+    use_pallas: bool = False,
 ) -> AttentionOut:
     """f, b: (B, H, W, C) NHWC features (foreground to fill / background to
     borrow from; the network passes f == b). mask: (B, Hm, Wm, 1) with 1 in
@@ -116,37 +134,51 @@ def contextual_attention(
 
     # similarity scores as one batched matmul: (B, P, k2C) x (B, k2C, L)
     fpat = extract_patches(fd, ksize, stride).reshape(bs, num_p, -1)
-    scores = jnp.einsum(
-        "bpk,blk->blp",
-        fpat,
-        wnorm.reshape(bs, num_l, -1),
-        preferred_element_type=jnp.float32,
-    )  # (B, L, P)
 
-    if fuse:
-        scores = _fuse_diag(scores)
-        # block transpose: view L as (hb, wb), P as (hf, wf), swap h<->w
-        s5 = scores.reshape(bs, hd, wd, hd, wd).transpose(0, 2, 1, 4, 3)
-        s5 = _fuse_diag(s5.reshape(bs, num_l, num_p))
-        scores = s5.reshape(bs, wd, hd, wd, hd).transpose(0, 2, 1, 4, 3)
-        scores = scores.reshape(bs, num_l, num_p)
+    if use_pallas and fuse and not compute_offsets:
+        # fused VMEM-resident pipeline: scores + fuse + softmax + paste
+        from .attention_pallas import attention_scores_paste
 
-    gate = mm[:, :, None]
-    probs = jax.nn.softmax(scores * gate * softmax_scale, axis=1) * gate  # (B, L, P)
-
-    if compute_offsets:
-        off = jnp.argmax(probs, axis=1).astype(jnp.int32)  # (B, P)
-        offsets = jnp.stack([off // wd, off % wd], axis=-1).reshape(bs, hd, wd, 2)
-    else:
+        vals = attention_scores_paste(
+            fpat, wnorm.reshape(bs, num_l, -1), raw.reshape(bs, num_l, -1),
+            mm.astype(jnp.float32), hd, wd, softmax_scale,
+        ).reshape(bs, hd, wd, kernel, kernel, c)
         offsets = jnp.zeros((bs, hd, wd, 2), jnp.int32)
+    else:
+        scores = jnp.einsum(
+            "bpk,blk->blp",
+            fpat,
+            wnorm.reshape(bs, num_l, -1),
+            preferred_element_type=jnp.float32,
+        )  # (B, L, P)
 
-    # paste: (B, P, L) x (B, L, 16C) then overlap-add (stride-2 4x4 deconv, pad 1)
-    vals = jnp.einsum(
-        "blp,blk->bpk",
-        probs,
-        raw.reshape(bs, num_l, -1),
-        preferred_element_type=jnp.float32,
-    ).reshape(bs, hd, wd, kernel, kernel, c)
+        if fuse:
+            scores = _fuse_diag(scores)
+            # second fuse pass (diagonal conv in the block-transposed flatten)
+            # expressed as permuted shifts in the original flatten — avoids two
+            # (B, hd, wd, hd, wd) transpose copies (see attention_pallas._perm_*)
+            scores = (
+                scores
+                + _perm(_perm(scores, wd, 1, +1), wd, 2, +1)
+                + _perm(_perm(scores, wd, 1, -1), wd, 2, -1)
+            )
+
+        gate = mm[:, :, None]
+        probs = jax.nn.softmax(scores * gate * softmax_scale, axis=1) * gate  # (B, L, P)
+
+        if compute_offsets:
+            off = jnp.argmax(probs, axis=1).astype(jnp.int32)  # (B, P)
+            offsets = jnp.stack([off // wd, off % wd], axis=-1).reshape(bs, hd, wd, 2)
+        else:
+            offsets = jnp.zeros((bs, hd, wd, 2), jnp.int32)
+
+        # paste: (B, P, L) x (B, L, 16C) then overlap-add (stride-2 4x4 deconv)
+        vals = jnp.einsum(
+            "blp,blk->bpk",
+            probs,
+            raw.reshape(bs, num_l, -1),
+            preferred_element_type=jnp.float32,
+        ).reshape(bs, hd, wd, kernel, kernel, c)
 
     s = rate * stride
     pad = 1  # conv_transpose2d(..., padding=1) crops 1 from each side

@@ -1,0 +1,45 @@
+"""Pallas attention kernel parity vs the XLA path (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import healthivert_tpu.ops.attention_pallas as ap
+from healthivert_tpu.ops.contextual_attention import contextual_attention
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    orig = ap.attention_scores_paste
+    monkeypatch.setattr(
+        ap, "attention_scores_paste",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+
+
+def test_pallas_matches_xla(rng):
+    f = jnp.asarray(rng.standard_normal((2, 16, 16, 4)).astype(np.float32))
+    mask = np.zeros((2, 64, 64, 1), np.float32)
+    mask[:, 20:44] = 1.0
+    a = contextual_attention(f, f, jnp.asarray(mask), use_pallas=False)
+    b = contextual_attention(f, f, jnp.asarray(mask), use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-5)
+
+
+def test_pallas_multi_tile(rng):
+    """32x32 features -> L=256, two 128-row tiles: exercises the halo'd
+    fuse tiles and the wrap rows of the permuted shifts."""
+    f = jnp.asarray(rng.standard_normal((1, 32, 32, 4)).astype(np.float32))
+    mask = np.zeros((1, 128, 128, 1), np.float32)
+    mask[:, 40:80] = 1.0
+    a = contextual_attention(f, f, jnp.asarray(mask), use_pallas=False)
+    b = contextual_attention(f, f, jnp.asarray(mask), use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-5)
+
+
+def test_pallas_no_mask(rng):
+    f = jnp.asarray(rng.standard_normal((1, 16, 16, 8)).astype(np.float32))
+    mask = jnp.zeros((1, 64, 64, 1))
+    a = contextual_attention(f, f, mask, use_pallas=False)
+    b = contextual_attention(f, f, mask, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-5)
