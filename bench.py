@@ -36,14 +36,16 @@ def main():
     from healthivert_tpu.data.synthetic import SyntheticDataset
     from healthivert_tpu.models.pix2pix import (
         Pix2PixConfig,
-        build_modules,
         generator_forward,
         init_state,
     )
 
+    from healthivert_tpu.models.generator import Generator
+
     cfg = Pix2PixConfig(ngf=16, image_size=256)
-    gen, _ = build_modules(cfg)
     state = init_state(jax.random.PRNGKey(0), cfg)
+    # fused pallas attention on TPU; XLA path elsewhere
+    gen = Generator(cnum=cfg.ngf, use_pallas_attention=jax.default_backend() == "tpu")
 
     def infer_step(g_params, g_sn, batch):
         bf = {

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from healthivert_tpu.data import create_dataset
+from healthivert_tpu.data.prefetch import prefetch_to_device
 from healthivert_tpu.models.pix2pix import (
     Pix2PixConfig,
     init_state,
@@ -96,12 +97,14 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         print(f"learning rate {lr:.7f} for epoch {epoch}")
         epoch_iter = 0
         iter_data_time = time.time()
-        for batch in dataset:
+        batches = prefetch_to_device(
+            dataset, lambda b: (b, shard_batch(b, mesh)), depth=2
+        )
+        for batch, sb in batches:
             iter_start = time.time()
             t_data = iter_start - iter_data_time
             total_iters += opt.batch_size
             epoch_iter += opt.batch_size
-            sb = shard_batch(batch, mesh)
             if profile_steps and int(state.step) == profile_steps[0]:
                 jax.profiler.start_trace(os.path.join(run_dir, "profile"))
             state, losses = train_step(state, sb, jnp.float32(lr), cfg)

@@ -32,6 +32,19 @@ class Visualizer:
         os.makedirs(self.run_dir, exist_ok=True)
         self.log_name = os.path.join(self.run_dir, "loss_log.txt")
         self.metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
+        self.wandb = None
+        if getattr(opt, "use_wandb", False):
+            # optional sink, parity with util/visualizer.py:89-91; gated
+            # since wandb is not baked into this image
+            try:
+                import wandb
+
+                self.wandb = wandb.init(
+                    project=getattr(opt, "wandb_project_name", "HealthiVert-TPU"),
+                    name=opt.name, config=vars(opt),
+                )
+            except ImportError:
+                print("wandb requested but not installed; continuing without it")
         with open(self.log_name, "a") as f:
             f.write(
                 f"================ Training Loss ({time.strftime('%c')}) ================\n"
@@ -52,6 +65,8 @@ class Visualizer:
         rec.update({k: float(v) for k, v in scalars.items()})
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self.wandb is not None:
+            self.wandb.log({f"{tag}/{k}": float(v) for k, v in scalars.items()}, step=step)
 
 
 class HTMLGallery:

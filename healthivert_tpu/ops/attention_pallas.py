@@ -33,7 +33,7 @@ def _roll(t, shift, axis, interpret):
     """Circular shift: out[i] = t[i - shift] (jnp.roll semantics)."""
     if interpret:
         return jnp.roll(t, shift, axis)
-    return pltpu.roll(t, shift, axis)
+    return pltpu.roll(t, shift % t.shape[axis], axis)  # pltpu requires shift >= 0
 
 
 def _cols(t):
@@ -71,8 +71,8 @@ def _col_perm_minus(t, n, interpret):
 
 
 def _attention_kernel(hd, wd, scale, r_tile, interpret,
-                      f_hbm, w_hbm, raw_hbm, mm_hbm, out_hbm,
-                      f_s, w_s, raw_s, mm_s, s_ref, b_ref, out_t, sems):
+                      f_hbm, w_hbm, raw_hbm, mm_ref, out_hbm,
+                      f_s, w_s, raw_s, s_ref, b_ref, out_t, sems):
     b = pl.program_id(0)
     num_l = hd * wd
     nt = num_l // r_tile
@@ -80,9 +80,8 @@ def _attention_kernel(hd, wd, scale, r_tile, interpret,
     cp_f = pltpu.make_async_copy(f_hbm.at[b], f_s, sems.at[0])
     cp_w = pltpu.make_async_copy(w_hbm.at[b], w_s, sems.at[1])
     cp_r = pltpu.make_async_copy(raw_hbm.at[b], raw_s, sems.at[2])
-    cp_m = pltpu.make_async_copy(mm_hbm.at[b], mm_s, sems.at[3])
-    cp_f.start(); cp_w.start(); cp_r.start(); cp_m.start()
-    cp_f.wait(); cp_w.wait(); cp_m.wait()
+    cp_f.start(); cp_w.start(); cp_r.start()
+    cp_f.wait(); cp_w.wait()
 
     # --- scores: S[t] = W[t] @ F^T (contract K), row-tiled ---
     for t in range(nt):
@@ -141,7 +140,7 @@ def _attention_kernel(hd, wd, scale, r_tile, interpret,
         )
 
     # --- masked scaled softmax over rows (L), in place ---
-    g_rows = mm_s[:]  # (L, 1)
+    g_rows = mm_ref[0]  # (L, 1)
     m = jnp.full((1, num_l), -jnp.inf, jnp.float32)
     for t in range(nt):
         r0 = t * r_tile
@@ -187,25 +186,39 @@ def attention_scores_paste(
     num_l = wnorm.shape[1]
     rc = raw.shape[-1]
     assert num_l == num_p == hd * wd
+    # manual DMA requires 128-aligned lane dims: zero-pad K (contraction
+    # over padded zeros is a no-op)
+    k_pad = (-k) % 128
+    if k_pad:
+        fpat = jnp.pad(fpat, ((0, 0), (0, 0), (0, k_pad)))
+        wnorm = jnp.pad(wnorm, ((0, 0), (0, 0), (0, k_pad)))
+        k = k + k_pad
     r_tile = 128 if num_l % 128 == 0 else num_l
     kernel = functools.partial(_attention_kernel, hd, wd, scale, r_tile, interpret)
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     return pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[any_spec] * 4,
+        in_specs=[
+            any_spec, any_spec, any_spec,
+            pl.BlockSpec((1, num_l, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=any_spec,
         out_shape=jax.ShapeDtypeStruct((b, num_p, rc), fpat.dtype),
         scratch_shapes=[
             pltpu.VMEM((num_p, k), fpat.dtype),  # f_s
             pltpu.VMEM((num_l, k), wnorm.dtype),  # w_s
             pltpu.VMEM((num_l, rc), raw.dtype),  # raw_s
-            pltpu.VMEM((num_l, 1), jnp.float32),  # mm_s
             pltpu.VMEM((num_l, num_p), jnp.float32),  # s_ref
             pltpu.VMEM((num_l, num_p), jnp.float32),  # b_ref
             pltpu.VMEM((r_tile, rc), fpat.dtype),  # out tile staging
             pltpu.SemaphoreType.DMA((5,)),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # statics ~14 MB + tile transients: raise the default 16 MB
+            # scoped cap (v5e VMEM is larger; the compiler validates)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(fpat, wnorm, raw, mm[..., None].astype(jnp.float32))

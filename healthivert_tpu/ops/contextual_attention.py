@@ -90,6 +90,7 @@ def _perm(x, n, axis, direction):
     jax.jit,
     static_argnames=(
         "ksize", "stride", "rate", "fuse_k", "fuse", "compute_offsets", "use_pallas",
+        "score_dtype",
     ),
 )
 def contextual_attention(
@@ -104,6 +105,7 @@ def contextual_attention(
     fuse: bool = True,
     compute_offsets: bool = False,
     use_pallas: bool = False,
+    score_dtype=None,
 ) -> AttentionOut:
     """f, b: (B, H, W, C) NHWC features (foreground to fill / background to
     borrow from; the network passes f == b). mask: (B, Hm, Wm, 1) with 1 in
@@ -145,12 +147,13 @@ def contextual_attention(
         ).reshape(bs, hd, wd, kernel, kernel, c)
         offsets = jnp.zeros((bs, hd, wd, 2), jnp.int32)
     else:
+        sdt = score_dtype or jnp.float32
         scores = jnp.einsum(
             "bpk,blk->blp",
             fpat,
             wnorm.reshape(bs, num_l, -1),
             preferred_element_type=jnp.float32,
-        )  # (B, L, P)
+        ).astype(sdt)  # (B, L, P)
 
         if fuse:
             scores = _fuse_diag(scores)
@@ -163,7 +166,7 @@ def contextual_attention(
                 + _perm(_perm(scores, wd, 1, -1), wd, 2, -1)
             )
 
-        gate = mm[:, :, None]
+        gate = mm[:, :, None].astype(sdt)
         probs = jax.nn.softmax(scores * gate * softmax_scale, axis=1) * gate  # (B, L, P)
 
         if compute_offsets:

@@ -1,0 +1,61 @@
+"""Transforms factory + image folder walker + aligned dataset split logic."""
+
+import json
+import os
+import types
+
+import numpy as np
+
+from healthivert_tpu.data.aligned import load_split, partition_normal
+from healthivert_tpu.data.image_folder import is_image_file, make_dataset
+from healthivert_tpu.data.transforms import get_transform, make_power_2, resize_bilinear
+
+
+def test_make_power_2_rounds():
+    img = np.zeros((255, 258))
+    out = make_power_2(img, base=4)
+    # int(round(255/4))*4 = 256, int(round(258/4))*4 = 256
+    assert out.shape == (256, 256)
+
+
+def test_resize_bilinear_identity(rng):
+    img = rng.random((16, 12))
+    np.testing.assert_allclose(resize_bilinear(img, 16, 12), img)
+
+
+def test_get_transform_none_mode(rng):
+    opt = types.SimpleNamespace(preprocess="none", no_flip=True, load_size=256, crop_size=256)
+    t = get_transform(opt, rng=np.random.default_rng(0))
+    img = (rng.random((256, 256)) * 255).astype(np.uint8)
+    out = t(img)
+    assert out.shape == (256, 256)
+    assert -1.0 <= out.min() and out.max() <= 1.0
+
+
+def test_get_transform_resize_crop(rng):
+    opt = types.SimpleNamespace(
+        preprocess="resize_and_crop", no_flip=True, load_size=64, crop_size=32
+    )
+    t = get_transform(opt, rng=np.random.default_rng(0))
+    out = t(rng.random((100, 80)) * 255)
+    assert out.shape == (32, 32)
+
+
+def test_image_folder_skips_labels(tmp_path):
+    for name in ("a.nii.gz", "b_label.nii.gz", "c.png", "notes.txt"):
+        (tmp_path / name).write_bytes(b"x")
+    files = make_dataset(str(tmp_path))
+    names = [os.path.basename(f) for f in files]
+    assert names == ["a.nii.gz", "c.png"]
+    assert is_image_file("x.nii.gz") and not is_image_file("x.doc")
+
+
+def test_split_partition(tmp_path):
+    split = {"train": {"p1_20": 0, "p1_21": 3, "p2_19": 1, "p2_20": 2}}
+    p = tmp_path / "s.json"
+    p.write_text(json.dumps(split))
+    s = load_split(str(p), "train")
+    normal, abnormal, by_patient = partition_normal(s)
+    assert set(normal) == {"p1_20", "p2_19"}
+    assert set(abnormal) == {"p1_21", "p2_20"}
+    assert by_patient == {"p1": ["20"], "p2": ["19"]}
