@@ -17,9 +17,9 @@ import jax.numpy as jnp
 from healthivert_tpu.data import create_dataset
 from healthivert_tpu.data.prefetch import prefetch_to_device
 from healthivert_tpu.models.pix2pix import (
+    LRSchedule,
     Pix2PixConfig,
     init_state,
-    linear_lr_scale,
     train_step,
 )
 from healthivert_tpu.parallel import make_mesh, replicate_state, shard_batch
@@ -91,9 +91,11 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
 
     total_iters = 0
     done = False
+    schedule = LRSchedule(opt)
+    last_metric = None
     for epoch in range(opt.epoch_count, opt.n_epochs + opt.n_epochs_decay + 1):
         epoch_start = time.time()
-        lr = opt.lr * linear_lr_scale(epoch, opt.epoch_count, opt.n_epochs, opt.n_epochs_decay)
+        lr = opt.lr * schedule.scale(epoch, last_metric)
         print(f"learning rate {lr:.7f} for epoch {epoch}")
         epoch_iter = 0
         iter_data_time = time.time()
@@ -140,6 +142,7 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
                 out_dir=os.path.join(run_dir, "eval_imgs"), epoch=epoch,
             )
             if avg:
+                last_metric = -avg["ssim"]  # plateau policy input (minimized)
                 visualizer.log_scalars("eval", avg, epoch)
                 print(
                     f"epoch[{epoch}] SSIM: {avg['ssim']:.4f} PSNR: {avg['psnr']:.2f} "

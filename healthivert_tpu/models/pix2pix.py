@@ -283,6 +283,42 @@ def linear_lr_scale(epoch: int, epoch_count: int, n_epochs: int, n_epochs_decay:
     return 1.0 - max(0, epoch + epoch_count - n_epochs) / float(n_epochs_decay + 1)
 
 
+class LRSchedule:
+    """Epoch-level LR multiplier, parity with get_scheduler
+    (networks.py:39-65): linear | step | plateau | cosine."""
+
+    def __init__(self, opt):
+        self.policy = getattr(opt, "lr_policy", "linear")
+        self.opt = opt
+        self._plateau_best = None
+        self._plateau_bad = 0
+        self._plateau_factor = 1.0
+
+    def scale(self, epoch: int, metric: float | None = None) -> float:
+        o = self.opt
+        if self.policy == "linear":
+            return linear_lr_scale(epoch, o.epoch_count, o.n_epochs, o.n_epochs_decay)
+        if self.policy == "step":
+            return 0.1 ** (epoch // o.lr_decay_iters)
+        if self.policy == "cosine":
+            import math
+
+            return 0.5 * (1.0 + math.cos(math.pi * epoch / o.n_epochs))
+        if self.policy == "plateau":
+            # ReduceLROnPlateau(mode=min, factor=0.2, threshold=0.01, patience=5)
+            if metric is not None:
+                if self._plateau_best is None or metric < self._plateau_best * (1 - 0.01):
+                    self._plateau_best = metric
+                    self._plateau_bad = 0
+                else:
+                    self._plateau_bad += 1
+                    if self._plateau_bad > 5:
+                        self._plateau_factor *= 0.2
+                        self._plateau_bad = 0
+            return self._plateau_factor
+        raise NotImplementedError(f"learning rate policy [{self.policy}]")
+
+
 # --- registry hookup -------------------------------------------------------
 
 def _option_setter(parser, is_train):

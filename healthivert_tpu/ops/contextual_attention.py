@@ -89,8 +89,8 @@ def _perm(x, n, axis, direction):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ksize", "stride", "rate", "fuse_k", "fuse", "compute_offsets", "use_pallas",
-        "score_dtype",
+        "ksize", "stride", "rate", "fuse_k", "softmax_scale", "fuse",
+        "compute_offsets", "use_pallas", "score_dtype",
     ),
 )
 def contextual_attention(
