@@ -94,3 +94,24 @@ def test_linear_lr_scale():
     assert linear_lr_scale(1, 1, 200, 800) == 1.0
     assert linear_lr_scale(200, 1, 200, 800) == pytest.approx(1 - 1 / 801)
     assert linear_lr_scale(1000, 1, 200, 800) == pytest.approx(1 - 801 / 801)
+
+
+def test_lr_schedule_policies():
+    import types
+
+    from healthivert_tpu.models.pix2pix import LRSchedule
+
+    base = dict(epoch_count=1, n_epochs=10, n_epochs_decay=10, lr_decay_iters=5)
+    lin = LRSchedule(types.SimpleNamespace(lr_policy="linear", **base))
+    assert lin.scale(1) == 1.0 and lin.scale(20) < 0.1
+
+    step = LRSchedule(types.SimpleNamespace(lr_policy="step", **base))
+    assert step.scale(4) == 1.0 and step.scale(5) == pytest.approx(0.1)
+
+    cos = LRSchedule(types.SimpleNamespace(lr_policy="cosine", **base))
+    assert cos.scale(0) == 1.0 and cos.scale(10) == pytest.approx(0.0, abs=1e-9)
+
+    plat = LRSchedule(types.SimpleNamespace(lr_policy="plateau", **base))
+    for _ in range(8):
+        s = plat.scale(1, metric=1.0)  # no improvement
+    assert s == pytest.approx(0.2)
