@@ -79,6 +79,27 @@ def main():
         best = max(best, sps)
         print(f"# batch {bs}: {sps:.1f} slices/sec", file=sys.stderr)
 
+    if os.environ.get("BENCH_SPINE") == "1":
+        # second north-star (BASELINE.json): per-spine end-to-end RHLV latency
+        from healthivert_tpu.data.synthetic import make_spine_volume
+        from healthivert_tpu.engine.infer3d import synthesize_volume
+        from healthivert_tpu.evaluation.rhlv import calculate_rhlv
+
+        rng = np.random.default_rng(0)
+        ct, labels, cam_v = make_spine_volume(rng, fractured={20: 0.6})
+        # warmup compile
+        synthesize_volume(state.g_params, state.g_sn, cfg, ct, labels, 20, cam_v)
+        t0 = time.perf_counter()
+        ct_fake, lb_fake = synthesize_volume(
+            state.g_params, state.g_sn, cfg, ct, labels, 20, cam_v
+        )
+        fake = (lb_fake == 20).astype(np.float64)
+        real = (labels == 20).astype(np.float64)
+        loc = np.where(real)[2]
+        calculate_rhlv(fake, real, int(loc.mean()), (loc.max() - loc.min()) // 5)
+        dt = time.perf_counter() - t0
+        print(f"# per-vertebra end-to-end RHLV latency: {dt:.2f} s", file=sys.stderr)
+
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             base = json.load(f)["value"]

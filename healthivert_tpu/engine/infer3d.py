@@ -44,11 +44,12 @@ def _forward(g_params, g_sn, context, mask, cam, ratio, cfg: Pix2PixConfig,
     out = gen.apply(
         {"params": g_params, "sn": g_sn}, context, mask, 1.0 - cam, ratio
     )
-    return (
-        out.x_stage2.astype(jnp.float32),
-        (out.fine_seg > 0.5).astype(jnp.float32),
-        out.pred2_h.astype(jnp.float32) * MAXHEIGHT,
-    )
+    # quantize on device: the reassembly maps CT through (x+1)*127.5 into a
+    # uint8-range volume anyway, and seg is binary — returning uint8 cuts the
+    # device->host transfer 4x (significant through the tunneled backend)
+    ct_u8 = jnp.round((out.x_stage2.astype(jnp.float32) + 1.0) * 127.5).astype(jnp.uint8)
+    seg_u8 = (out.fine_seg > 0.5).astype(jnp.uint8)
+    return ct_u8, seg_u8, out.pred2_h.astype(jnp.float32) * MAXHEIGHT
 
 
 def _slice_geometry(label_sl: np.ndarray, ct_sl: np.ndarray, cam_sl: np.ndarray, vert_id: int):
@@ -105,7 +106,8 @@ def _reassemble(geo, x_stage2, fine_seg_bin, pred_h, ct_sl, label_sl, vert_id):
     x_bottom = x_upper + ph
 
     fake = np.zeros_like(ct_sl, np.float64)
-    fake[x_upper:x_bottom] = (x_stage2[x_upper:x_bottom] + 1.0) * 127.5
+    # x_stage2 arrives already mapped to uint8 CT range on device
+    fake[x_upper:x_bottom] = x_stage2[x_upper:x_bottom]
     ori = ct_sl.astype(np.uint8).astype(np.float64)
     fake[:x_upper] = ((ori[hd // 2 : x1] / 255.0 * 2 - 1) + 1) * 127.5
     tail = ori[x2 : x2 + h - x_bottom]
