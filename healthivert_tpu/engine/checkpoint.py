@@ -11,10 +11,7 @@ checkpoints under {checkpoints_dir}/{name}/ (base_model.py naming
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 from flax import serialization
 

@@ -15,7 +15,7 @@ not available in this image — pandas reads either).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

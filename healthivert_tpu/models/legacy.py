@@ -16,8 +16,6 @@ complete the component inventory (SURVEY.md §2):
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -11,9 +11,6 @@ filtered stack.
 
 from __future__ import annotations
 
-import math
-
-import jax
 import jax.numpy as jnp
 
 from .image import _edge_pad
