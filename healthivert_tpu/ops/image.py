@@ -126,13 +126,23 @@ def ssim(
 
 
 def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Nearest-neighbor resize on NHWC, matching torch F.interpolate(nearest).
+    """Nearest-neighbor resize on NHWC, matching torch F.interpolate(nearest):
+    src = floor(dst * in/out).
 
-    torch 'nearest' picks src = floor(dst * scale) with scale = in/out; for
-    integer up/down factors this equals jax.image.resize 'nearest' on an
-    aligned grid, which we implement directly with gather indices.
+    Integer up-factors use broadcast+reshape (pixel repetition) and integer
+    down-factors use strided slicing — both exactly match the floor rule and
+    avoid gather relayouts on large feature maps. Non-integer ratios fall
+    back to gathers.
     """
     b, h, w, c = x.shape
+    if out_h % h == 0 and out_w % w == 0:
+        rh, rw = out_h // h, out_w // w
+        if (rh, rw) == (1, 1):
+            return x
+        y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, rh, w, rw, c))
+        return y.reshape(b, out_h, out_w, c)
+    if h % out_h == 0 and w % out_w == 0:
+        return x[:, :: h // out_h, :: w // out_w, :]
     ih = (jnp.arange(out_h) * h // out_h).astype(jnp.int32)
     iw = (jnp.arange(out_w) * w // out_w).astype(jnp.int32)
     return x[:, ih][:, :, iw]
