@@ -59,7 +59,7 @@ def main():
 
     best = 0.0
     results = {}
-    for bs in (16, 32, 64):
+    for bs in (64, 128, 256):
         ds = SyntheticDataset(batch_size=bs, seed=0, n_volumes=2)
         batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
         # warmup / compile; a D2H value fetch is the only reliable completion
