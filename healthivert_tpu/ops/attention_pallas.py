@@ -195,7 +195,7 @@ def attention_scores_paste(
         k = k + k_pad
     r_tile = 128 if num_l % 128 == 0 else num_l
     kernel = functools.partial(_attention_kernel, hd, wd, scale, r_tile, interpret)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         kernel,
         grid=(b,),
