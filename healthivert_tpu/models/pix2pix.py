@@ -180,6 +180,24 @@ def _d_forward(disc, params, stats, x):
     return logits, mut["batch_stats"]
 
 
+def _update_sn_tree(params, sn):
+    """One power iteration on every stored u vector, from the weights alone
+    (the same update SNConv applies in-place during a mutable forward)."""
+
+    def upd(path, u):
+        node = params
+        for p in path[:-1]:
+            node = node[p.key]
+        k = node["kernel"]
+        mat = k.reshape(-1, k.shape[-1]).T  # (out, d)
+        v = mat.T @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        u_new = mat @ v
+        return u_new / (jnp.linalg.norm(u_new) + 1e-12)
+
+    return jax.tree_util.tree_map_with_path(upd, sn)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def train_step(
     state: TrainState,
@@ -188,13 +206,33 @@ def train_step(
     cfg: Pix2PixConfig = Pix2PixConfig(),
 ):
     """One full optimization step: D1, D2, D3, then G (reference order,
-    pix2pix_model.py:356-382). Returns (new_state, losses dict)."""
+    pix2pix_model.py:356-382). Returns (new_state, losses dict).
+
+    The generator runs ONCE: jax.vjp keeps its pullback so the G gradient is
+    taken after the discriminators update (the reference retains the autograd
+    graph the same way, pix2pix_model.py:357,380-382); SN power-iteration
+    state advances from the weights alone."""
     gen, disc = build_modules(cfg)
     opt = make_optimizer(cfg)
-
-    fwd = generator_forward(gen, state.g_params, state.g_sn, batch, cfg, update_sn=True)
     full = batch["full"]
     losses = {}
+
+    def g_outputs(g_params):
+        f = generator_forward(gen, g_params, state.g_sn, batch, cfg, update_sn=False)
+        return (
+            f["fake_b"], f["fake_b_coarse"], f["gen"].coarse_seg, f["gen"].fine_seg,
+            f["pred1_h"], f["pred2_h"],
+        )
+
+    outs, g_vjp = jax.vjp(g_outputs, state.g_params)
+    fake_b, fake_b_coarse, coarse_seg, fine_seg, pred1_h, pred2_h = outs
+
+    fine_seg_bin = (fine_seg > 0.5).astype(fine_seg.dtype)
+    s = cfg.image_size
+    center = geo.local_crop_mask(s, s)[None, :, :, None]
+    fake_local = batch["mask"] * fake_b * center
+    real_local = batch["mask"] * full * center
+    real_edges = sobel_edges(batch["vert_seg"])
 
     # --- discriminator updates (fakes detached) ---
     def d_step(params, stats, opt_state, fake, real):
@@ -213,21 +251,25 @@ def train_step(
         return params, new_stats, opt_state, l_fake, l_real
 
     d1_params, d1_stats, opt_d1, losses["D_fake_1"], losses["D_real_1"] = d_step(
-        state.d1_params, state.d1_stats, state.opt_d1, fwd["fake_b"], full
+        state.d1_params, state.d1_stats, state.opt_d1, fake_b, full
     )
     d2_params, d2_stats, opt_d2, losses["D_fake_2"], losses["D_real_2"] = d_step(
-        state.d2_params, state.d2_stats, state.opt_d2, fwd["fine_seg_bin"], batch["vert_seg"]
+        state.d2_params, state.d2_stats, state.opt_d2, fine_seg_bin, batch["vert_seg"]
     )
     d3_params, d3_stats, opt_d3, losses["D_fake_3"], losses["D_real_3"] = d_step(
-        state.d3_params, state.d3_stats, state.opt_d3, fwd["fake_local"], fwd["real_local"]
+        state.d3_params, state.d3_stats, state.opt_d3, fake_local, real_local
     )
 
-    # --- generator update against the UPDATED discriminators ---
-    def g_loss_fn(g_params):
-        f = generator_forward(gen, g_params, state.g_sn, batch, cfg, update_sn=False)
-        p1, _ = _d_forward(disc, d1_params, d1_stats, f["fake_b"])
-        p2, _ = _d_forward(disc, d2_params, d2_stats, f["fine_seg_bin"])
-        p3, _ = _d_forward(disc, d3_params, d3_stats, f["fake_local"])
+    # --- generator update against the UPDATED discriminators: the loss head
+    # runs on the saved forward outputs; its cotangents pull back through the
+    # single retained forward graph ---
+    def g_loss_head(outs):
+        fake_b, fake_b_coarse, coarse_seg, fine_seg, pred1_h, pred2_h = outs
+        seg_bin = (fine_seg > 0.5).astype(fine_seg.dtype)
+        f_local = batch["mask"] * fake_b * center
+        p1, _ = _d_forward(disc, d1_params, d1_stats, fake_b)
+        p2, _ = _d_forward(disc, d2_params, d2_stats, seg_bin)
+        p3, _ = _d_forward(disc, d3_params, d3_stats, f_local)
         l_gan = (
             gan_loss(p1, True, cfg.gan_mode)
             + gan_loss(p2, True, cfg.gan_mode)
@@ -235,20 +277,19 @@ def train_step(
         ) / 6.0
 
         mask_count = jnp.count_nonzero(batch["mask"]).astype(jnp.float32)
-        s = cfg.image_size
         l_l1 = (
-            (jnp.mean(jnp.abs(f["fake_b"] - full)) + jnp.mean(jnp.abs(f["fake_b_coarse"] - full)))
+            (jnp.mean(jnp.abs(fake_b - full)) + jnp.mean(jnp.abs(fake_b_coarse - full)))
             * 0.5
             * cfg.lambda_l1
             * (s * s / jnp.maximum(mask_count, 1.0))
             * 2.0
         )
-        l_coarse_dice = (1.0 - dice_coeff(f["gen"].coarse_seg, batch["normal_vert"])) * 10.0
-        l_dice = (1.0 - dice_coeff(f["gen"].fine_seg, batch["vert_seg"])) * 15.0
-        l_edge = jnp.mean((f["fake_edges"] - f["real_edges"]) ** 2) * 800.0
+        l_coarse_dice = (1.0 - dice_coeff(coarse_seg, batch["normal_vert"])) * 10.0
+        l_dice = (1.0 - dice_coeff(fine_seg, batch["vert_seg"])) * 15.0
+        l_edge = jnp.mean((sobel_edges(seg_bin) - real_edges) ** 2) * 800.0
         h = batch["height"].astype(jnp.float32)
         l_h = jnp.mean(
-            jnp.abs(f["pred1_h"] - h) / h * 40.0 + jnp.abs(f["pred2_h"] - h) / h * 40.0
+            jnp.abs(pred1_h - h) / h * 40.0 + jnp.abs(pred2_h - h) / h * 40.0
         )
         total = l_gan + l_l1 + l_dice + l_edge + l_coarse_dice + l_h
         return total, dict(
@@ -256,9 +297,8 @@ def train_step(
             edge=l_edge, h=l_h,
         )
 
-    (g_total, g_losses), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-        state.g_params
-    )
+    (g_total, g_losses), out_grads = jax.value_and_grad(g_loss_head, has_aux=True)(outs)
+    (g_grads,) = g_vjp(out_grads)
     updates, opt_g = opt.update(g_grads, state.opt_g, state.g_params)
     g_params = optax.apply_updates(
         state.g_params, jax.tree_util.tree_map(lambda u: -lr * u, updates)
@@ -269,7 +309,7 @@ def train_step(
     new_state = TrainState(
         step=state.step + 1,
         g_params=g_params,
-        g_sn=fwd["new_sn"],
+        g_sn=_update_sn_tree(state.g_params, state.g_sn),
         d1_params=d1_params, d1_stats=d1_stats,
         d2_params=d2_params, d2_stats=d2_stats,
         d3_params=d3_params, d3_stats=d3_stats,
