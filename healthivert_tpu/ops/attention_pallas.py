@@ -222,3 +222,214 @@ def attention_scores_paste(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(fpat, wnorm, raw, mm[..., None].astype(jnp.float32))
+
+
+# --------------------------------------------------------------------------
+# Kernel v2: scores and paste computed directly from feature maps.
+#
+# v1 consumes pre-extracted patch tensors (B, L, k2C) built in XLA — their
+# construction (strided slice concats) and the output fold measured ~10 ms
+# at B=64. v2 moves both into the kernel: scores accumulate over the 9
+# (dy, dx) window offsets as shifted (L, C) x (C, P) matmuls, and the paste
+# accumulates the 16 raw-patch offsets into 2x2 output phase planes
+# (the stride-2 deconv's parity decomposition) — no patch tensor and no
+# fold ever exist. Shifts act on the two leading (sublane) grid dims; the
+# channel lane dim is never shifted.
+# --------------------------------------------------------------------------
+
+
+def _shift2d(v, sy, sx):
+    """out[i, j, :] = v[i + sy, j + sx, :], zero-filled at the borders."""
+    for axis, s in ((0, sy), (1, sx)):
+        if s == 0:
+            continue
+        n = v.shape[axis]
+        if s > 0:
+            main = jax.lax.slice_in_dim(v, s, n, axis=axis)
+            pad = jnp.zeros_like(jax.lax.slice_in_dim(v, 0, s, axis=axis))
+            v = jax.lax.concatenate([main, pad], axis)
+        else:
+            main = jax.lax.slice_in_dim(v, 0, n + s, axis=axis)
+            pad = jnp.zeros_like(jax.lax.slice_in_dim(v, n + s, n, axis=axis))
+            v = jax.lax.concatenate([pad, main], axis)
+    return v
+
+
+def _attention_v2_kernel(hd, wd, scale, r_tile, interpret,
+                         fd_hbm, bd_hbm, bph_hbm, mm_ref, out_hbm,
+                         fd_s, bd_s, bph_s, s_ref, b_ref, acc_s, sems):
+    b = pl.program_id(0)
+    num_l = hd * wd
+    nt = num_l // r_tile
+
+    cp_f = pltpu.make_async_copy(fd_hbm.at[b], fd_s, sems.at[0])
+    cp_b = pltpu.make_async_copy(bd_hbm.at[b], bd_s, sems.at[1])
+    cp_p = pltpu.make_async_copy(bph_hbm.at[b], bph_s, sems.at[2])
+    cp_f.start(); cp_b.start(); cp_p.start()
+    cp_f.wait(); cp_b.wait()
+
+    fdv = fd_s[:]  # (hd, wd, C)
+    bdv = bd_s[:]
+
+    # --- scores: S[l, p] = sum_o <bd[l+o-1], fd[p+o-1]>, offset-accumulated ---
+    c = fdv.shape[-1]
+    s_acc = jnp.zeros((num_l, num_l), jnp.float32)
+    nrm2 = jnp.zeros((hd, wd, 1), jnp.float32)
+    bd2 = jnp.sum(bdv.astype(jnp.float32) * bdv.astype(jnp.float32), axis=-1, keepdims=True)
+    for dy in range(3):
+        for dx in range(3):
+            f_o = _shift2d(fdv, dy - 1, dx - 1).reshape(num_l, c)
+            b_o = _shift2d(bdv, dy - 1, dx - 1).reshape(num_l, c)
+            s_acc = s_acc + jax.lax.dot_general(
+                b_o, f_o,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            nrm2 = nrm2 + _shift2d(bd2, dy - 1, dx - 1)
+    # per-l patch-norm row scale (v1's wnorm = w / max(||w||, 1e-4))
+    nrm = jnp.maximum(jnp.sqrt(nrm2.reshape(num_l, 1)), 1e-4)
+    s_ref[:] = s_acc / nrm
+
+    # --- fuse1 (diagonal +-1) ---
+    for t in range(nt):
+        r0 = t * r_tile
+        cur = s_ref[r0 : r0 + r_tile, :]
+        up = (
+            jax.lax.concatenate([jnp.zeros_like(cur[:1]), s_ref[0 : r_tile - 1, :]], 0)
+            if t == 0 else s_ref[r0 - 1 : r0 + r_tile - 1, :]
+        )
+        dn = (
+            jax.lax.concatenate([s_ref[r0 + 1 : num_l, :], jnp.zeros_like(cur[:1])], 0)
+            if t == nt - 1 else s_ref[r0 + 1 : r0 + r_tile + 1, :]
+        )
+        b_ref[r0 : r0 + r_tile, :] = (
+            cur + _col_shift(up, -1, interpret) + _col_shift(dn, +1, interpret)
+        )
+
+    # --- fuse2 (permuted +-wd in the transposed flatten) ---
+    for t in range(nt):
+        r0 = t * r_tile
+        cur = b_ref[r0 : r0 + r_tile, :]
+        if r0 + r_tile + wd <= num_l:
+            plus = b_ref[r0 + wd : r0 + wd + r_tile, :]
+        else:
+            parts = []
+            if num_l - wd - r0 > 0:
+                parts.append(b_ref[r0 + wd : num_l, :])
+            parts.append(b_ref[1:wd, :])
+            parts.append(jnp.zeros_like(cur[:1]))
+            plus = jax.lax.concatenate(parts, 0)
+        if r0 >= wd:
+            minus = b_ref[r0 - wd : r0 - wd + r_tile, :]
+        else:
+            parts = [jnp.zeros_like(cur[:1])]
+            parts.append(b_ref[num_l - wd : num_l - 1, :])
+            parts.append(b_ref[0 : r_tile - wd, :])
+            minus = jax.lax.concatenate(parts, 0)
+        s_ref[r0 : r0 + r_tile, :] = (
+            cur
+            + _col_perm_plus(plus, wd, interpret)
+            + _col_perm_minus(minus, wd, interpret)
+        )
+
+    # --- masked scaled softmax over rows, in place, then fold in gate/sum ---
+    g_rows = mm_ref[0]  # (L, 1)
+    m = jnp.full((1, num_l), -jnp.inf, jnp.float32)
+    for t in range(nt):
+        r0 = t * r_tile
+        logits = s_ref[r0 : r0 + r_tile, :] * g_rows[r0 : r0 + r_tile] * scale
+        m = jnp.maximum(m, jnp.max(logits, axis=0, keepdims=True))
+    ssum = jnp.zeros((1, num_l), jnp.float32)
+    for t in range(nt):
+        r0 = t * r_tile
+        logits = s_ref[r0 : r0 + r_tile, :] * g_rows[r0 : r0 + r_tile] * scale
+        e = jnp.exp(logits - m)
+        ssum = ssum + jnp.sum(e, axis=0, keepdims=True)
+        s_ref[r0 : r0 + r_tile, :] = e
+    inv = 1.0 / ssum
+    for t in range(nt):
+        r0 = t * r_tile
+        s_ref[r0 : r0 + r_tile, :] = (
+            s_ref[r0 : r0 + r_tile, :] * inv * g_rows[r0 : r0 + r_tile]
+        )
+
+    # --- paste into 2x2 output phases; phase planes DMA'd out one by one ---
+    cp_p.wait()
+    probs = None  # reads go straight from s_ref per offset
+    for r in range(2):
+        for s_ in range(2):
+            acc = jnp.zeros((hd, wd, c), jnp.float32)
+            for dy in range(4):
+                if (dy - 1) % 2 != r:
+                    continue
+                a = (dy - 1 - r) // 2
+                for dx in range(4):
+                    if (dx - 1) % 2 != s_:
+                        continue
+                    bb = (dx - 1 - s_) // 2
+                    raw_o = _shift2d(bph_s[r, s_], a, bb).reshape(num_l, c)
+                    out_o = jax.lax.dot_general(
+                        s_ref[:], raw_o,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (P, C)
+                    acc = acc + _shift2d(out_o.reshape(hd, wd, c), -a, -bb)
+            acc_s[:] = (acc / 4.0).astype(acc_s.dtype)
+            cp_o = pltpu.make_async_copy(acc_s, out_hbm.at[b, r, s_], sems.at[3])
+            cp_o.start()
+            cp_o.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("hd", "wd", "scale", "interpret"))
+def attention_v2(
+    fd: jnp.ndarray,  # (B, hd, wd, C) downscaled foreground features
+    bd: jnp.ndarray,  # (B, hd, wd, C) downscaled background features
+    b_full: jnp.ndarray,  # (B, 2hd, 2wd, C) full-res background
+    mm: jnp.ndarray,  # (B, L) availability gate
+    hd: int,
+    wd: int,
+    scale: float = 10.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns the pasted attention output y (B, 2hd, 2wd, C)."""
+    bs, _, _, c_in = fd.shape
+    num_l = hd * wd
+    r_tile = 128 if num_l % 128 == 0 else num_l
+    # manual DMA needs a 128-aligned lane (channel) dim; zero channels are
+    # inert through both matmuls and sliced off at the end
+    c_pad = (-c_in) % 128
+    if c_pad:
+        fd = jnp.pad(fd, ((0, 0), (0, 0), (0, 0), (0, c_pad)))
+        bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (0, c_pad)))
+        b_full = jnp.pad(b_full, ((0, 0), (0, 0), (0, 0), (0, c_pad)))
+    c = c_in + c_pad
+    # 2x2 phase split of the full-res background: phases[r, s][i, j] = b[2i+r, 2j+s]
+    bph = b_full.reshape(bs, hd, 2, wd, 2, c).transpose(0, 2, 4, 1, 3, 5)
+    kernel = functools.partial(_attention_v2_kernel, hd, wd, scale, r_tile, interpret)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bs,),
+        in_specs=[
+            any_spec, any_spec, any_spec,
+            pl.BlockSpec((1, num_l, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=any_spec,
+        out_shape=jax.ShapeDtypeStruct((bs, 2, 2, hd, wd, c), fd.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hd, wd, c), fd.dtype),
+            pltpu.VMEM((hd, wd, c), bd.dtype),
+            pltpu.VMEM((2, 2, hd, wd, c), b_full.dtype),
+            pltpu.VMEM((num_l, num_l), jnp.float32),
+            pltpu.VMEM((num_l, num_l), jnp.float32),
+            pltpu.VMEM((hd, wd, c), fd.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(fd, bd, bph, mm[..., None].astype(jnp.float32))
+    # interleave phases: y[2i+r, 2j+s] = out[r, s, i, j]
+    y = out.transpose(0, 3, 1, 4, 2, 5).reshape(bs, 2 * hd, 2 * wd, c)
+    return y[..., :c_in]

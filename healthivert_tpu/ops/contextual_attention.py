@@ -139,54 +139,53 @@ def contextual_attention(
     mpat = extract_patches(md, ksize, stride)  # (B, L, 3, 3, 1)
     mm = (jnp.mean(mpat, axis=(2, 3, 4)) == 0.0).astype(f.dtype)  # (B, L)
 
+    if use_pallas and fuse and not compute_offsets:
+        # kernel v2: scores + fuse + softmax + paste + fold, all VMEM-resident,
+        # computed directly from the feature maps (no patch tensors at all)
+        from .attention_pallas import attention_v2
+
+        y = attention_v2(fd, bd, b, mm.astype(jnp.float32), hd, wd, softmax_scale)
+        offsets = jnp.zeros((bs, hd, wd, 2), jnp.int32)
+        return AttentionOut(y.astype(f.dtype), offsets)
+
     # similarity scores as one batched matmul: (B, P, k2C) x (B, k2C, L)
     fpat = extract_patches(fd, ksize, stride).reshape(bs, num_p, -1)
 
-    if use_pallas and fuse and not compute_offsets:
-        # fused VMEM-resident pipeline: scores + fuse + softmax + paste
-        from .attention_pallas import attention_scores_paste
+    sdt = score_dtype or jnp.float32
+    scores = jnp.einsum(
+        "bpk,blk->blp",
+        fpat,
+        wnorm.reshape(bs, num_l, -1),
+        preferred_element_type=jnp.float32,
+    ).astype(sdt)  # (B, L, P)
 
-        vals = attention_scores_paste(
-            fpat, wnorm.reshape(bs, num_l, -1), raw.reshape(bs, num_l, -1),
-            mm.astype(jnp.float32), hd, wd, softmax_scale,
-        ).reshape(bs, hd, wd, kernel, kernel, c)
-        offsets = jnp.zeros((bs, hd, wd, 2), jnp.int32)
+    if fuse:
+        scores = _fuse_diag(scores)
+        # second fuse pass (diagonal conv in the block-transposed flatten)
+        # expressed as permuted shifts in the original flatten — avoids two
+        # (B, hd, wd, hd, wd) transpose copies (see attention_pallas._perm_*)
+        scores = (
+            scores
+            + _perm(_perm(scores, wd, 1, +1), wd, 2, +1)
+            + _perm(_perm(scores, wd, 1, -1), wd, 2, -1)
+        )
+
+    gate = mm[:, :, None].astype(sdt)
+    probs = jax.nn.softmax(scores * gate * softmax_scale, axis=1) * gate  # (B, L, P)
+
+    if compute_offsets:
+        off = jnp.argmax(probs, axis=1).astype(jnp.int32)  # (B, P)
+        offsets = jnp.stack([off // wd, off % wd], axis=-1).reshape(bs, hd, wd, 2)
     else:
-        sdt = score_dtype or jnp.float32
-        scores = jnp.einsum(
-            "bpk,blk->blp",
-            fpat,
-            wnorm.reshape(bs, num_l, -1),
-            preferred_element_type=jnp.float32,
-        ).astype(sdt)  # (B, L, P)
+        offsets = jnp.zeros((bs, hd, wd, 2), jnp.int32)
 
-        if fuse:
-            scores = _fuse_diag(scores)
-            # second fuse pass (diagonal conv in the block-transposed flatten)
-            # expressed as permuted shifts in the original flatten — avoids two
-            # (B, hd, wd, hd, wd) transpose copies (see attention_pallas._perm_*)
-            scores = (
-                scores
-                + _perm(_perm(scores, wd, 1, +1), wd, 2, +1)
-                + _perm(_perm(scores, wd, 1, -1), wd, 2, -1)
-            )
-
-        gate = mm[:, :, None].astype(sdt)
-        probs = jax.nn.softmax(scores * gate * softmax_scale, axis=1) * gate  # (B, L, P)
-
-        if compute_offsets:
-            off = jnp.argmax(probs, axis=1).astype(jnp.int32)  # (B, P)
-            offsets = jnp.stack([off // wd, off % wd], axis=-1).reshape(bs, hd, wd, 2)
-        else:
-            offsets = jnp.zeros((bs, hd, wd, 2), jnp.int32)
-
-        # paste: (B, P, L) x (B, L, 16C) then overlap-add (stride-2 4x4 deconv)
-        vals = jnp.einsum(
-            "blp,blk->bpk",
-            probs,
-            raw.reshape(bs, num_l, -1),
-            preferred_element_type=jnp.float32,
-        ).reshape(bs, hd, wd, kernel, kernel, c)
+    # paste: (B, P, L) x (B, L, 16C) then overlap-add (stride-2 4x4 deconv)
+    vals = jnp.einsum(
+        "blp,blk->bpk",
+        probs,
+        raw.reshape(bs, num_l, -1),
+        preferred_element_type=jnp.float32,
+    ).reshape(bs, hd, wd, kernel, kernel, c)
 
     y = _fold_overlap_add(vals, h, w, rate * stride, kernel)
     return AttentionOut(y.astype(f.dtype), offsets)

@@ -15,6 +15,11 @@ def _interpret(monkeypatch):
         ap, "attention_scores_paste",
         lambda *a, **k: orig(*a, **{**k, "interpret": True}),
     )
+    orig2 = ap.attention_v2
+    monkeypatch.setattr(
+        ap, "attention_v2",
+        lambda *a, **k: orig2(*a, **{**k, "interpret": True}),
+    )
 
 
 def test_pallas_matches_xla(rng):
