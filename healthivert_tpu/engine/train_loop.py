@@ -61,6 +61,7 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         lambda_l1=getattr(opt, "lambda_L1", 200.0),
         gan_mode=opt.gan_mode,
         image_size=opt.crop_size,
+        compute_dtype=getattr(opt, "compute_dtype", "float32"),
     )
     mesh = make_mesh(opt.mesh)
     n_data = mesh.shape.get("data", 1)

@@ -100,6 +100,7 @@ class PixelDiscriminator(nn.Module):
 def gan_loss(logits: jnp.ndarray, target_is_real: bool, mode: str = "vanilla") -> jnp.ndarray:
     """GANLoss equivalent (networks.py:212-278): vanilla = BCE-with-logits
     against constant labels, lsgan = MSE, wgangp = -+mean."""
+    logits = logits.astype(jnp.float32)
     if mode == "vanilla":
         target = 1.0 if target_is_real else 0.0
         # BCEWithLogits: softplus(x) - target*x, mean-reduced

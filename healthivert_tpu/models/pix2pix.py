@@ -57,6 +57,7 @@ class Pix2PixConfig:
     gan_mode: str = "vanilla"
     maxheight: float = 40.0
     image_size: int = 256
+    compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
 
 
 @struct.dataclass
@@ -77,8 +78,9 @@ class TrainState:
 
 
 def build_modules(cfg: Pix2PixConfig):
-    gen = Generator(cnum=cfg.ngf)
-    d = NLayerDiscriminator(ndf=cfg.ndf, n_layers=3, norm="batch")
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    gen = Generator(cnum=cfg.ngf, dtype=dtype)
+    d = NLayerDiscriminator(ndf=cfg.ndf, n_layers=3, norm="batch", dtype=dtype)
     return gen, d
 
 
@@ -125,6 +127,11 @@ def generator_forward(
     update_sn: bool = True,
 ):
     """Full forward incl. SHRM paste-back (pix2pix_model.py:180-264)."""
+    if cfg.compute_dtype == "bfloat16":
+        batch = {
+            k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 and v.ndim == 4 else v)
+            for k, v in batch.items()
+        }
     cam_inv = 1.0 - batch["cam"]
     if update_sn:
         out, mut = gen.apply(
@@ -264,7 +271,10 @@ def train_step(
     # runs on the saved forward outputs; its cotangents pull back through the
     # single retained forward graph ---
     def g_loss_head(outs):
-        fake_b, fake_b_coarse, coarse_seg, fine_seg, pred1_h, pred2_h = outs
+        # reductions in f32 regardless of compute dtype
+        fake_b, fake_b_coarse, coarse_seg, fine_seg, pred1_h, pred2_h = (
+            o.astype(jnp.float32) for o in outs
+        )
         seg_bin = (fine_seg > 0.5).astype(fine_seg.dtype)
         f_local = batch["mask"] * fake_b * center
         p1, _ = _d_forward(disc, d1_params, d1_stats, fake_b)
