@@ -118,3 +118,26 @@ def test_full_pipeline_parity_with_reference(tmp_path):
     assert dice == pytest.approx(1.0, abs=1e-6), dice
     all_dice = 2 * np.sum((mine > 0) & (ref > 0)) / ((mine > 0).sum() + (ref > 0).sum())
     assert all_dice > 0.99, all_dice
+
+
+def test_axial_mask_extraction(rng):
+    """Legacy axial variant (C22): body isolation + 1.2x rect mask + crops."""
+    from healthivert_tpu.straighten.axial import get_vertbody, process_spine_data
+
+    # a body blob (left/anterior) + a posterior process blob
+    seg = np.zeros((40, 60))
+    seg[10:30, 5:30] = 1  # body: anterior (small min-col), large
+    seg[15:22, 40:55] = 1  # process: posterior
+    out2, body, center = get_vertbody(seg)
+    assert body[15, 10] == 1 and body[18, 45] == 0  # body kept, process dropped
+    assert out2.shape == (60, 60)
+
+    ct = rng.normal(100, 30, (128, 128, 20))
+    labels = np.zeros((128, 128, 20))
+    labels[40:70, 30:60, 5:15] = 20
+    labels[80:100, 30:60, 5:15] = 21
+    res = process_spine_data(ct, labels, 20, (96, 96))
+    assert res["ct_crop"].shape == (96, 96)
+    assert res["mask"][50, 45] == 255  # inside the body rect
+    assert (res["mask"][labels[:, :, res["center_z"]] == 21] == 0).all()
+    assert res["masked_image"][res["mask"] == 255].sum() == 0
