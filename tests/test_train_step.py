@@ -115,3 +115,12 @@ def test_lr_schedule_policies():
     for _ in range(8):
         s = plat.scale(1, metric=1.0)  # no improvement
     assert s == pytest.approx(0.2)
+
+
+def test_train_step_bfloat16():
+    cfg = Pix2PixConfig(ngf=4, ndf=8, image_size=64, compute_dtype="bfloat16")
+    state = init_state(jax.random.PRNGKey(0), cfg, batch_size=2)
+    batch = _batch()
+    state, losses = train_step(state, batch, jnp.float32(2e-4), cfg)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
