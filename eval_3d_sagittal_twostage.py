@@ -32,6 +32,8 @@ def main(argv=None):
 
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--axis", choices=["sagittal", "coronal"], default="sagittal")
+    pre.add_argument("--slice_batch", type=int, default=64,
+                     help="slices per device dispatch in each synthesis pass")
     ns, rest = pre.parse_known_args(argv)
     axis = 2 if ns.axis == "sagittal" else 1
     opt = TestOptions().parse(rest)
@@ -69,7 +71,8 @@ def main(argv=None):
 
         ct_fake, lb_fake = synthesize_volume(
             state.g_params, state.g_sn, cfg,
-            ct_img.get_fdata(), lb_img.get_fdata(), vert_id, cam, axis=axis,
+            ct_img.get_fdata(), lb_img.get_fdata(), vert_id, cam,
+            batch_size=ns.slice_batch, axis=axis,
         )
         nifti.save(nifti.Nifti1Image(ct_fake.astype(np.float32), ct_img.affine),
                    os.path.join(out_ct, fname))
