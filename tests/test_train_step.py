@@ -124,3 +124,22 @@ def test_train_step_bfloat16():
     state, losses = train_step(state, batch, jnp.float32(2e-4), cfg)
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_reproducibility_same_seed():
+    """Same seed -> identical synthetic batches and identical first-step loss."""
+    def run():
+        ds = SyntheticDataset(
+            batch_size=2, seed=7, shape=(64, 64, 16),
+            vert_ids=(19, 20), vert_height=14, gap=8,
+        )
+        b = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
+        state = init_state(jax.random.PRNGKey(3), CFG, batch_size=2)
+        _, losses = train_step(state, b, jnp.float32(2e-4), CFG)
+        return b, {k: float(v) for k, v in losses.items()}
+
+    b1, l1 = run()
+    b2, l2 = run()
+    for k in b1:
+        np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
+    assert l1 == l2
