@@ -199,12 +199,12 @@ def synthesize_volume(
         vid = vert_id + nb
         jobs, job_z, job_ratio = [], [], []
         for z in z_list:
-            if which == "upper" and not (vert_id > 8 and np.sum(label_vol[:, :, z] == vid) > 200):
+            if which == "upper" and not (vert_id > 8 and np.sum(sl(label_vol, z) == vid) > 200):
                 continue
             # both neighbor-presence checks read the ORIGINAL labels (:204,:213)
-            if which == "lower" and not (vert_id < 24 and np.sum(label_vol[:, :, z] == vid) > 200):
+            if which == "lower" and not (vert_id < 24 and np.sum(sl(label_vol, z) == vid) > 200):
                 continue
-            geo = _slice_geometry(lb_state[z], ct_state[z], cam_vol[:, :, z], vid)
+            geo = _slice_geometry(lb_state[z], ct_state[z], sl(cam_vol, z), vid)
             if geo is None:
                 continue
             jobs.append(geo)

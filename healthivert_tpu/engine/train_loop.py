@@ -13,6 +13,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from healthivert_tpu.data import create_dataset
 from healthivert_tpu.data.prefetch import prefetch_to_device
@@ -118,6 +119,13 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
 
             if total_iters % opt.print_freq < opt.batch_size:
                 host_losses = {k: float(v) for k, v in losses.items()}
+                bad = [k for k, v in host_losses.items() if not np.isfinite(v)]
+                if bad:
+                    # failure detection (SURVEY.md §5: absent in the reference):
+                    # stop rather than burn epochs on a diverged run
+                    raise FloatingPointError(
+                        f"non-finite losses at step {int(state.step)}: {bad}"
+                    )
                 t_comp = (time.time() - iter_start) / opt.batch_size
                 visualizer.print_current_losses(epoch, epoch_iter, host_losses, t_comp, t_data)
                 visualizer.log_scalars("train", host_losses, total_iters)

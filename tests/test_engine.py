@@ -68,3 +68,22 @@ def test_evaluate_model_saves_grid(tmp_path):
     state = init_state(jax.random.PRNGKey(0), CFG)
     evaluate_model(state.g_params, state.g_sn, ds, CFG, out_dir=str(tmp_path), epoch=3)
     assert (tmp_path / "nepoch_003_eval.png").exists()
+
+
+def test_synthesize_volume_coronal_axis(rng):
+    """Coronal (axis=1) synthesis: non-square slices through the whole stack,
+    incl. the CAM volume slicing (regression: was indexed as axis 2)."""
+    ct, labels, cam = make_spine_volume(
+        rng, shape=(64, 64, 16), vert_ids=(19, 20, 21), vert_height=12, gap=5,
+        fractured={20: 0.6},
+    )
+    state = init_state(jax.random.PRNGKey(0), CFG)
+    ct_fake, lb_fake = synthesize_volume(
+        state.g_params, state.g_sn, CFG, ct, labels, 20, cam,
+        batch_size=8, use_bf16=False, axis=1,
+    )
+    assert ct_fake.shape == ct.shape
+    ys = np.nonzero((labels == 20).any(axis=(0, 2)))[0]
+    ymid = (ys.min() + ys.max()) // 2
+    assert ct_fake[:, ymid, :].max() > 0
+    assert ct_fake[:, 0, :].max() == 0  # outside central range
