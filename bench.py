@@ -67,14 +67,16 @@ def main():
         out = jit_step(state.g_params, state.g_sn, batch)
         float(jnp.sum(out[2]))
         iters = 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = jit_step(state.g_params, state.g_sn, batch)
-        # executions on one device stream are serialized; fetching the last
-        # output's data forces all queued steps to have completed
-        float(jnp.sum(out[0])) + float(jnp.sum(out[2]))
-        dt = time.perf_counter() - t0
-        sps = bs * iters / dt
+        sps = 0.0
+        for _rep in range(2):  # best-of-2: the tunneled backend is jittery
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = jit_step(state.g_params, state.g_sn, batch)
+            # executions on one device stream are serialized; fetching the
+            # last output's data forces all queued steps to have completed
+            float(jnp.sum(out[0])) + float(jnp.sum(out[2]))
+            dt = time.perf_counter() - t0
+            sps = max(sps, bs * iters / dt)
         results[bs] = sps
         best = max(best, sps)
         print(f"# batch {bs}: {sps:.1f} slices/sec", file=sys.stderr)
