@@ -64,6 +64,8 @@ def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cam_dir", type=str, default=None,
                         help="folder of HGAM attention heatmap NIfTIs; omit for uniform CAM")
+    parser.add_argument("--synthetic_cache", type=int, default=0,
+                        help="pre-build N synthetic examples (amortizes host sampling)")
     return parser
 
 

@@ -98,6 +98,13 @@ class SyntheticDataset:
         for vi, (_, labels, _) in enumerate(self.volumes):
             for vid in np.unique(labels)[1:]:
                 self.items.append((vi, int(vid)))
+        # optional example cache: slice sampling + band geometry on the host
+        # is the training bottleneck on few-core hosts; pre-building a pool
+        # amortizes it (opt.synthetic_cache or cache_size > 0)
+        self.cache = None
+        cache_size = getattr(opt, "synthetic_cache", 0) if opt is not None else 0
+        if cache_size:
+            self.cache = [self._one_example() for _ in range(cache_size)]
 
     def __len__(self):
         return self.size
@@ -106,21 +113,23 @@ class SyntheticDataset:
         for _ in range(self.size // self.batch_size):
             yield self.sample_batch()
 
-    def sample_batch(self):
-        ex = []
-        while len(ex) < self.batch_size:
+    def _one_example(self):
+        while True:
             vi, vid = self.items[self.rng.integers(len(self.items))]
             ct, labels, cam = self.volumes[vi]
             normal_ids = [
                 v for v in np.unique(labels)[1:] if int(v) not in self.fractured[vi]
             ]
             try:
-                ex.append(
-                    build_example(self.rng, ct, labels.copy(), vid, normal_ids, cam)
-                )
+                return build_example(self.rng, ct, labels.copy(), vid, normal_ids, cam)
             except ValueError:
                 continue
-        return collate(ex)
+
+    def sample_batch(self):
+        if self.cache is not None:
+            idx = self.rng.integers(len(self.cache), size=self.batch_size)
+            return collate([self.cache[i] for i in idx])
+        return collate([self._one_example() for _ in range(self.batch_size)])
 
 
 register_dataset("synthetic", SyntheticDataset)
