@@ -44,6 +44,9 @@ def main(argv=None):
     if ckpt.latest_exists(run_dir, opt.epoch):
         state = ckpt.restore_checkpoint(state, run_dir, opt.epoch)
         print(f"loaded checkpoint {run_dir}/{opt.epoch}")
+    elif ckpt.latest_exists(run_dir, "generator"):
+        state = ckpt.restore_generator(state, run_dir)
+        print(f"loaded generator-only checkpoint {run_dir}/generator")
     else:
         print(f"warning: no checkpoint at {run_dir}/{opt.epoch}; using init weights")
 

@@ -43,3 +43,18 @@ def restore_checkpoint(state_template, directory: str, tag: str = "latest"):
 
 def latest_exists(directory: str, tag: str = "latest") -> bool:
     return os.path.isdir(os.path.join(_abs(directory), str(tag)))
+
+
+def restore_generator(state, directory: str, tag: str = "generator"):
+    """Restore a generator-only checkpoint ({'g_params','g_sn'}, e.g. the
+    shipped checkpoints/pretrained_synthetic/generator) into a TrainState."""
+    path = os.path.join(_abs(directory), str(tag))
+    ckptr = ocp.StandardCheckpointer()
+    template = serialization.to_state_dict(
+        jax.device_get({"g_params": state.g_params, "g_sn": state.g_sn})
+    )
+    restored = ckptr.restore(path, template)
+    g = serialization.from_state_dict(
+        {"g_params": state.g_params, "g_sn": state.g_sn}, restored
+    )
+    return state.replace(g_params=g["g_params"], g_sn=g["g_sn"])
