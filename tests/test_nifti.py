@@ -30,3 +30,29 @@ def test_loads_reference_samples():
     labels = np.unique(img.data)
     assert labels.max() >= 1  # vertebra ids present
     assert img.data.shape[0] == 256 and img.data.shape[1] == 256
+
+
+def test_scl_slope_applied(tmp_path, rng):
+    """Headers with scl_slope/inter must rescale data on load."""
+    import struct
+
+    from healthivert_tpu.utils.nifti import load, save, Nifti1Image
+
+    data = (rng.random((4, 4, 2)) * 50).astype(np.int16)
+    p = str(tmp_path / "s.nii")
+    save(Nifti1Image(data), p)
+    raw = bytearray(open(p, "rb").read())
+    struct.pack_into("<2f", raw, 112, 2.0, 10.0)  # slope=2, inter=10
+    open(p, "wb").write(bytes(raw))
+    img = load(p)
+    np.testing.assert_allclose(img.get_fdata(), data * 2.0 + 10.0)
+
+
+def test_affine_spacing(tmp_path):
+    from healthivert_tpu.utils.nifti import load, save, Nifti1Image
+
+    aff = np.diag([2.0, 3.0, 4.0, 1.0])
+    p = str(tmp_path / "sp.nii.gz")
+    save(Nifti1Image(np.zeros((3, 3, 3), np.float32), aff), p)
+    img = load(p)
+    assert img.spacing == (2.0, 3.0, 4.0)

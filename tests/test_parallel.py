@@ -1,0 +1,35 @@
+"""Mesh construction, batch sharding, and multi-host helper semantics."""
+
+import jax
+import numpy as np
+import pytest
+
+from healthivert_tpu.parallel import make_mesh, replicate_state, shard_batch
+from healthivert_tpu.parallel.distributed import ensure_initialized, process_batch_slice
+
+
+def test_make_mesh_specs():
+    m = make_mesh("data:8")
+    assert m.shape == {"data": 8}
+    m2 = make_mesh("data:4,model:2")
+    assert m2.shape == {"data": 4, "model": 2}
+    m3 = make_mesh("data:-1")
+    assert m3.shape == {"data": len(jax.devices())}
+    m4 = make_mesh("data:-1,model:2")
+    assert m4.shape == {"data": len(jax.devices()) // 2, "model": 2}
+
+
+def test_shard_batch_and_replicate(rng):
+    mesh = make_mesh("data:8")
+    batch = {"x": rng.random((8, 4, 4)).astype(np.float32)}
+    sb = shard_batch(batch, mesh)
+    assert not sb["x"].sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(sb["x"]), batch["x"])
+    state = {"w": np.ones((3, 3), np.float32)}
+    rs = replicate_state(state, mesh)
+    assert rs["w"].sharding.is_fully_replicated
+
+
+def test_distributed_helpers_single_process():
+    assert ensure_initialized() is False  # no coordinator env -> single process
+    assert process_batch_slice(16) == slice(0, 16)
