@@ -355,7 +355,6 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret,
 
     # --- paste into 2x2 output phases; phase planes DMA'd out one by one ---
     cp_p.wait()
-    probs = None  # reads go straight from s_ref per offset
     for r in range(2):
         for s_ in range(2):
             acc = jnp.zeros((hd, wd, c), jnp.float32)
