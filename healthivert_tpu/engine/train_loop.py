@@ -63,6 +63,7 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         gan_mode=opt.gan_mode,
         image_size=opt.crop_size,
         compute_dtype=getattr(opt, "compute_dtype", "float32"),
+        pallas_attention=jax.default_backend() == "tpu",
     )
     mesh = make_mesh(opt.mesh)
     n_data = mesh.shape.get("data", 1)

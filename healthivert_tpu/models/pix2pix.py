@@ -58,6 +58,7 @@ class Pix2PixConfig:
     maxheight: float = 40.0
     image_size: int = 256
     compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
+    pallas_attention: bool = False  # fused attention kernel (TPU only)
 
 
 @struct.dataclass
@@ -79,7 +80,9 @@ class TrainState:
 
 def build_modules(cfg: Pix2PixConfig):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    gen = Generator(cnum=cfg.ngf, dtype=dtype)
+    gen = Generator(
+        cnum=cfg.ngf, dtype=dtype, use_pallas_attention=cfg.pallas_attention
+    )
     d = NLayerDiscriminator(ndf=cfg.ndf, n_layers=3, norm="batch", dtype=dtype)
     return gen, d
 

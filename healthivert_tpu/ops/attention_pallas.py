@@ -432,3 +432,118 @@ def attention_v2(
     # interleave phases: y[2i+r, 2j+s] = out[r, s, i, j]
     y = out.transpose(0, 3, 1, 4, 2, 5).reshape(bs, 2 * hd, 2 * wd, c)
     return y[..., :c_in]
+
+
+# --------------------------------------------------------------------------
+# Differentiable wrapper: v2 kernel forward + analytic XLA backward.
+#
+# The fuse operator is self-adjoint in each pass (it contains both +- shifts
+# and the two permutations are mutually transposed), so F^T = fuse1 o fuse2
+# (order reversed). The softmax gate g zeroes every gated row's contribution,
+# letting the saved gated probabilities P stand in for the raw softmax q in
+# the backward (rows with g=0 have dq = 0 and dS is re-gated by g).
+# --------------------------------------------------------------------------
+
+
+def _patches_l(x, k):
+    """(B, H, W, C) -> (B, H*W, k*k*C) stride-1 SAME patches (ky,kx,c order)."""
+    from .contextual_attention import extract_patches
+
+    b = x.shape[0]
+    return extract_patches(x, k, 1).reshape(b, x.shape[1] * x.shape[2], -1)
+
+
+def _patches_l_adjoint(dpat, h, w, c, k):
+    """Adjoint of _patches_l: overlap-add the k*k shifted gradient planes."""
+    b = dpat.shape[0]
+    d = dpat.reshape(b, h, w, k, k, c)
+    pad = (k - 1) // 2
+    out = jnp.zeros((b, h + 2 * pad + (k - 1) % 2, w + 2 * pad + (k - 1) % 2, c), dpat.dtype)
+    for dy in range(k):
+        for dx in range(k):
+            out = out.at[:, dy : dy + h, dx : dx + w, :].add(d[:, :, :, dy, dx, :])
+    return out[:, pad : pad + h, pad : pad + w, :]
+
+
+def _fuse_ops(wd):
+    from .contextual_attention import _fuse_diag, _perm
+
+    def fuse_fwd(s):  # fuse2(fuse1(s)) over (B, L, P)
+        s = _fuse_diag(s)
+        return s + _perm(_perm(s, wd, 1, +1), wd, 2, +1) + _perm(_perm(s, wd, 1, -1), wd, 2, -1)
+
+    def fuse_adj(s):  # fuse1(fuse2(s)) — the transpose
+        s = s + _perm(_perm(s, wd, 1, +1), wd, 2, +1) + _perm(_perm(s, wd, 1, -1), wd, 2, -1)
+        return _fuse_diag(s)
+
+    return fuse_fwd, fuse_adj
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def attention_v2_diff(fd, bd, b_full, mm, hd, wd, scale):
+    """Differentiable fused attention: v2 kernel forward, analytic backward."""
+    return attention_v2(fd, bd, b_full, mm, hd, wd, scale)
+
+
+def _att_fwd(fd, bd, b_full, mm, hd, wd, scale):
+    y = attention_v2(fd, bd, b_full, mm, hd, wd, scale)
+    return y, (fd, bd, b_full, mm)
+
+
+def _att_bwd(hd, wd, scale, res, dy):
+    from .contextual_attention import extract_patches
+
+    fd, bd, b_full, mm = res
+    bs, _, _, c = fd.shape
+    num_l = hd * wd
+    f32 = jnp.float32
+    fdf, bdf, bff = fd.astype(f32), bd.astype(f32), b_full.astype(f32)
+    dyf = dy.astype(f32)
+
+    # recompute light intermediates (patch tensors + scores + probs)
+    fpat = _patches_l(fdf, 3)  # (B, L, 9C)
+    wpat = _patches_l(bdf, 3)
+    nrm_raw = jnp.sqrt(jnp.sum(wpat * wpat, axis=-1, keepdims=True))  # (B, L, 1)
+    nrm = jnp.maximum(nrm_raw, 1e-4)
+    s0 = jnp.einsum("bpk,blk->blp", fpat, wpat, preferred_element_type=f32)
+    s = s0 / nrm
+    fuse_fwd, fuse_adj = _fuse_ops(wd)
+    fused = fuse_fwd(s)
+    g = mm.astype(f32)[:, :, None]  # (B, L, 1)
+    probs = jax.nn.softmax(fused * g * scale, axis=1) * g  # (B, L, P)
+
+    raw = extract_patches(bff, 4, 2).reshape(bs, num_l, -1)  # (B, L, 16C)
+
+    # paste/fold adjoints
+    dv = extract_patches(dyf, 4, 2).reshape(bs, num_l, -1) / 4.0  # (B, P, 16C)
+    dprobs = jnp.einsum("blr,bpr->blp", raw, dv, preferred_element_type=f32)
+    draw = jnp.einsum("blp,bpr->blr", probs, dv, preferred_element_type=f32)
+    from .contextual_attention import _fold_overlap_add
+
+    db_full = _fold_overlap_add(
+        draw.reshape(bs, hd, wd, 4, 4, c), 2 * hd, 2 * wd, 2, 4
+    ) * 4.0
+
+    # softmax (+gate) backward
+    dq = dprobs * g
+    dz = probs * (dq - jnp.sum(probs * dq, axis=1, keepdims=True))
+    dfused = dz * g * scale
+    ds = fuse_adj(dfused)
+
+    # norm backward
+    ds0 = ds / nrm
+    dn = -jnp.sum(ds * s, axis=2, keepdims=True) / nrm  # (B, L, 1)
+    dnrm2 = jnp.where(nrm_raw > 1e-4, dn * 0.5 / jnp.maximum(nrm_raw, 1e-12), 0.0)
+    dwpat_n = 2.0 * wpat * dnrm2
+
+    # score matmul backward
+    dfpat = jnp.einsum("blp,blk->bpk", ds0, wpat, preferred_element_type=f32)
+    dwpat = jnp.einsum("blp,bpk->blk", ds0, fpat, preferred_element_type=f32) + dwpat_n
+
+    dfd = _patches_l_adjoint(dfpat, hd, wd, c, 3)
+    dbd = _patches_l_adjoint(dwpat, hd, wd, c, 3)
+    return (dfd.astype(fd.dtype), dbd.astype(bd.dtype),
+            db_full.astype(b_full.dtype), jnp.zeros_like(mm))
+
+
+attention_v2_diff.defvjp(_att_fwd, _att_bwd)

@@ -141,10 +141,13 @@ def contextual_attention(
 
     if use_pallas and fuse and not compute_offsets:
         # kernel v2: scores + fuse + softmax + paste + fold, all VMEM-resident,
-        # computed directly from the feature maps (no patch tensors at all)
-        from .attention_pallas import attention_v2
+        # computed directly from the feature maps (no patch tensors at all).
+        # Differentiable: custom VJP with an analytic XLA backward.
+        from .attention_pallas import attention_v2_diff
 
-        y = attention_v2(fd, bd, b, mm.astype(jnp.float32), hd, wd, softmax_scale)
+        y = attention_v2_diff(
+            fd, bd, b, mm.astype(jnp.float32), hd, wd, softmax_scale
+        )
         offsets = jnp.zeros((bs, hd, wd, 2), jnp.int32)
         return AttentionOut(y.astype(f.dtype), offsets)
 

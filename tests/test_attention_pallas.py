@@ -48,3 +48,35 @@ def test_pallas_no_mask(rng):
     a = contextual_attention(f, f, mask, use_pallas=False)
     b = contextual_attention(f, f, mask, use_pallas=True)
     np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-5)
+
+
+def test_custom_vjp_gradients_match_xla(rng):
+    """Analytic backward of the fused kernel vs jax.grad of the XLA path."""
+    import jax
+
+    from healthivert_tpu.ops.attention_pallas import attention_v2_diff
+    from healthivert_tpu.ops.image import resize_nearest
+
+    f = jnp.asarray(rng.standard_normal((2, 16, 16, 4)).astype(np.float32))
+    mask = np.zeros((2, 64, 64, 1), np.float32)
+    mask[:, 20:44] = 1.0
+    mask = jnp.asarray(mask)
+
+    def loss_xla(f):
+        out = contextual_attention(f, f, mask, use_pallas=False)
+        return jnp.sum(out.y * jnp.cos(out.y))  # nontrivial cotangents
+
+    def loss_fused(f):
+        fd = resize_nearest(f, 8, 8)
+        md = resize_nearest(mask, 8, 8)
+        from healthivert_tpu.ops.contextual_attention import extract_patches
+
+        mpat = extract_patches(md, 3, 1)
+        mm = (jnp.mean(mpat, axis=(2, 3, 4)) == 0.0).astype(jnp.float32)
+        y = attention_v2_diff(fd, fd, f, mm, 8, 8, 10.0)
+        return jnp.sum(y * jnp.cos(y))
+
+    l1, g1 = jax.value_and_grad(loss_xla)(f)
+    l2, g2 = jax.value_and_grad(loss_fused)(f)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-3, atol=2e-5)
