@@ -1,1 +1,1 @@
-from . import geometry, image  # noqa: F401
+from . import contextual_attention, edges, flow_viz, geometry, image, native_geometry  # noqa: F401
