@@ -94,3 +94,36 @@ def test_generation_eval_identity(tmp_path, rng):
     assert avg["rvd"] == 0.0
     assert avg["global_ssim"] == pytest.approx(1.0, abs=1e-5)
     assert avg["patch_psnr"] > 60
+
+
+def test_rhlv_coronal_axis_consistency(rng):
+    """axis=1 on a (X, Z, Y)-swapped volume must equal axis=2 on the original
+    (the coronal variant is the same math over the other slicing axis)."""
+    healthy_lb, frac_lb = _volumes(rng, 0.5)
+    fake = (healthy_lb == 20).astype(np.float64)
+    real = (frac_lb == 20).astype(np.float64)
+    loc = np.where(real)[2]
+    center, length = int(loc.mean()), (loc.max() - loc.min()) // 5
+    sag = calculate_rhlv(fake, real, center, length, axis=2)
+    # swap axes 1<->2: slicing axis 1 of the swapped volume = axis 2 original
+    cor = calculate_rhlv(
+        fake.transpose(0, 2, 1), real.transpose(0, 2, 1), center, length, axis=1
+    )
+    np.testing.assert_allclose(sag, cor, rtol=1e-12)
+
+
+def test_generation_eval_coronal_axis(tmp_path, rng):
+    ct, lb, _ = make_spine_volume(rng, shape=(128, 128, 32), vert_ids=(19, 20, 21),
+                                  vert_height=18, gap=8)
+    for d in ("CT", "label", "exp/CT_fake", "exp/label_fake"):
+        os.makedirs(tmp_path / d)
+    pv = "case000_20"
+    nifti.save(nifti.Nifti1Image(ct.astype(np.float32)), str(tmp_path / "CT" / f"{pv}.nii.gz"))
+    nifti.save(nifti.Nifti1Image(lb), str(tmp_path / "label" / f"{pv}.nii.gz"))
+    nifti.save(nifti.Nifti1Image(ct.astype(np.float32)), str(tmp_path / "exp/CT_fake" / f"{pv}.nii.gz"))
+    nifti.save(nifti.Nifti1Image(lb), str(tmp_path / "exp/label_fake" / f"{pv}.nii.gz"))
+    avg = evaluate_experiment(
+        {pv: 0}, str(tmp_path / "CT"), str(tmp_path / "label"), str(tmp_path / "exp"),
+        axis=1,
+    )
+    assert avg["count"] == 1 and avg["dice"] == pytest.approx(1.0)
