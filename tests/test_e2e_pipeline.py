@@ -27,7 +27,7 @@ def test_full_clinical_chain(tmp_path, rng):
     state = init_state(jax.random.PRNGKey(0), CFG)
     split = {"train": {}, "test": {}, "val": {}}
     idx = 0
-    for phase, n in (("train", 4), ("test", 2), ("val", 2)):
+    for phase, n in (("train", 8), ("test", 4), ("val", 2)):
         for i in range(n):
             grade = 0 if i % 2 == 0 else 2
             frac = {} if grade == 0 else {20: 0.55}
@@ -54,7 +54,7 @@ def test_full_clinical_chain(tmp_path, rng):
     rows = process_datasets(
         split, str(label_dir), str(fake_dir), str(tmp_path / "rhlv.csv")
     )
-    assert len(rows) == 8
+    assert len(rows) == 14
     assert {r["Dataset"] for r in rows} == {"train", "test", "val"}
 
     summary = evaluate_svm(
