@@ -5,9 +5,13 @@ the 70x70 PatchGAN: 4x4 convs, stride 2,2,2,1,1, LeakyReLU 0.2, BatchNorm)
 and :724 (PixelDiscriminator). Weight init matches init_weights 'normal'
 (networks.py:82-96): conv kernels ~ N(0, 0.02), BN scale ~ N(1, 0.02).
 
-BatchNorm uses per-shard batch statistics during training — the same
-semantics the reference gets from torch.nn.DataParallel (per-GPU stats,
-no cross-replica sync).
+BatchNorm under pjit/GSPMD computes GLOBAL batch statistics: a batch-sharded
+array's mean/var reductions are lowered with cross-device collectives, so the
+math is sync-BN regardless of device count (pinned by
+tests/test_parallel.py::test_batchnorm_global_stats_across_shards). This
+deliberately differs from the reference's torch.nn.DataParallel per-GPU
+stats — global stats are the better-defined semantics and are what a
+single-device run computes, so 1-vs-N device runs match bit-for-bit.
 """
 
 from __future__ import annotations

@@ -101,7 +101,9 @@ class FineGenerator(nn.Module):
     right before the two output heads.
 
     use_pallas_attention fuses the attention score pipeline into a VMEM-
-    resident Pallas kernel — inference only (no VJP registered).
+    resident Pallas kernel (attention_v2_diff): kernel forward + analytic
+    XLA backward via custom VJP, so it serves both inference and the TPU
+    training path.
     """
 
     cnum: int = 16

@@ -16,7 +16,10 @@ buffered:
 
 VMEM high-water ~13.5 MB for the sagittal shape (L = P = 1024, K = 576,
 RC = 1024). Numerics match the XLA path (same fuse flatten quirks as the
-reference convs). Forward-only: the training path keeps the XLA formulation.
+reference convs). The v2 kernel (attention_v2_diff) is DIFFERENTIABLE: the
+Pallas kernel runs the forward and a custom VJP supplies an analytic XLA
+backward, so the TPU training path (train_loop.py enables pallas_attention
+on TPU) uses it too. v1 (attention_scores_paste) remains forward-only.
 """
 
 from __future__ import annotations

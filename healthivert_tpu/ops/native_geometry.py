@@ -79,8 +79,11 @@ def cc_label(img: np.ndarray):
 
 def min_area_rect(points: np.ndarray):
     """points (n, 2) as (x, y) -> (corners (4, 2) float, center (2,) float).
-    Minimum-area enclosing rectangle over the point set."""
+    Minimum-area enclosing rectangle over the point set. Raises on empty
+    input (an empty rect has no meaningful corners)."""
     pts = np.ascontiguousarray(points, np.float64)
+    if pts.size == 0:
+        raise ValueError("min_area_rect: empty point set")
     lib = _load()
     if lib:
         out = np.zeros(10, np.float64)

@@ -94,7 +94,9 @@ def load(path) -> Nifti1Image:
     start = int(vox_offset)
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=start)
     data = data.reshape(shape, order="F")
-    data = np.asarray(data, dtype=data.dtype.newbyteorder("="))
+    # Always copy: frombuffer yields a read-only view when the dtype is
+    # already native-endian, and callers mutate loaded volumes in place.
+    data = np.array(data, dtype=data.dtype.newbyteorder("="), order="F")
 
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0

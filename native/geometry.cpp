@@ -105,6 +105,10 @@ static int convex_hull(const double* xs, const double* ys, int n,
 // Input: n points (xs, ys). Output: 8 doubles = 4 corners (x, y) of the
 // minimum-area enclosing rectangle, plus center (cx, cy) in out[8..9].
 void min_area_rect(const double* xs, const double* ys, int n, double* out) {
+    if (n <= 0) {  // empty input: all-zero rect (callers treat as no-op)
+        for (int i = 0; i < 10; ++i) out[i] = 0.0;
+        return;
+    }
     std::vector<double> hx, hy;
     int k = convex_hull(xs, ys, n, hx, hy);
     if (k == 1) {  // degenerate: single point

@@ -56,3 +56,19 @@ def test_affine_spacing(tmp_path):
     save(Nifti1Image(np.zeros((3, 3, 3), np.float32), aff), p)
     img = load(p)
     assert img.spacing == (2.0, 3.0, 4.0)
+
+
+def test_loaded_data_is_writable(tmp_path):
+    """load() must copy out of the frombuffer view: callers mutate volumes
+    in place (e.g. infer3d paste-back)."""
+    import numpy as np
+
+    from healthivert_tpu.utils import nifti
+
+    v = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    p = str(tmp_path / "w.nii.gz")
+    nifti.save(nifti.Nifti1Image(v, np.eye(4), (1.0, 1.0, 1.0)), p)
+    loaded = nifti.load(p)
+    loaded.data[0, 0, 0] = 99.0
+    assert loaded.data[0, 0, 0] == 99.0
+    assert loaded.get_fdata().flags.writeable

@@ -86,3 +86,13 @@ def test_local_crop_mask():
     m = np.asarray(G.local_crop_mask(256, 256))
     assert m.shape == (256, 256)
     assert m[:, 93:163].all() and not m[:, :93].any() and not m[:, 163:].any()
+
+
+def test_min_area_rect_empty_raises():
+    import numpy as np
+    import pytest
+
+    from healthivert_tpu.ops import native_geometry as ng
+
+    with pytest.raises(ValueError):
+        ng.min_area_rect(np.zeros((0, 2)))

@@ -33,3 +33,31 @@ def test_shard_batch_and_replicate(rng):
 def test_distributed_helpers_single_process():
     assert ensure_initialized() is False  # no coordinator env -> single process
     assert process_batch_slice(16) == slice(0, 16)
+
+
+def test_batchnorm_global_stats_across_shards(rng):
+    """Pin discriminator BN cross-shard semantics: under GSPMD jit the batch
+    mean/var reduce over the GLOBAL batch, so the same global batch gives
+    bit-close outputs on a 1-device and a 2-device mesh (sync-BN — see
+    models/discriminator.py module docstring)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from healthivert_tpu.models.discriminator import NLayerDiscriminator
+
+    d = NLayerDiscriminator(ndf=8, n_layers=3, norm="batch")
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 1)).astype(np.float32))
+    variables = d.init(jax.random.PRNGKey(0), x, train=True)
+
+    def fwd(v, x):
+        out, _ = d.apply(v, x, train=True, mutable=["batch_stats"])
+        return out
+
+    ref = jax.jit(fwd)(variables, x)  # single device
+
+    mesh = make_mesh("data:2")
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vs = replicate_state(variables, mesh)
+    out = jax.jit(fwd)(vs, xs)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
