@@ -60,9 +60,15 @@ class AlignedDataset:
         self.dataroot = opt.dataroot
         self.cam_dir = getattr(opt, "cam_dir", None)
 
+        # Search order: dataroot, cwd, then the shipped repo-root copy of the
+        # Verse2019 splits (vertebra_data.json, 1460 vertebrae — the file the
+        # reference consumes at data/aligned_dataset.py:49).
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
         split_path = None
         for cand in ("vertebra_data_local.json", "vertebra_data.json"):
-            for base in (self.dataroot or ".", "."):
+            for base in (self.dataroot or ".", ".", repo_root):
                 p = os.path.join(base, cand)
                 if os.path.exists(p):
                     split_path = p

@@ -57,6 +57,9 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
     cfg = Pix2PixConfig(
         ngf=16,
         ndf=opt.ndf,
+        net_d=getattr(opt, "netD", "basic"),
+        n_layers_d=getattr(opt, "n_layers_D", 3),
+        norm=getattr(opt, "norm", "batch"),
         lr=opt.lr,
         beta1=opt.beta1,
         lambda_l1=getattr(opt, "lambda_L1", 200.0),

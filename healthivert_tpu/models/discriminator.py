@@ -97,6 +97,10 @@ class PixelDiscriminator(nn.Module):
                 scale_init=normal_init(0.02, mean=1.0),
                 name="norm1",
             )(h)
+        elif self.norm == "instance":
+            h = (h - h.mean((1, 2), keepdims=True)) * jax.lax.rsqrt(
+                h.var((1, 2), keepdims=True) + 1e-5
+            )
         h = nn.leaky_relu(h, 0.2)
         return conv(1, "conv_out")(h)
 

@@ -38,7 +38,7 @@ from flax import struct
 
 from healthivert_tpu.ops import geometry as geo
 from healthivert_tpu.ops.image import sobel_edges, dice_coeff
-from .discriminator import NLayerDiscriminator, gan_loss
+from .discriminator import NLayerDiscriminator, PixelDiscriminator, gan_loss
 from .generator import Generator
 
 
@@ -51,6 +51,9 @@ class Pix2PixConfig:
 
     ngf: int = 16
     ndf: int = 64
+    net_d: str = "basic"  # basic | n_layers | pixel | seg (define_D parity)
+    n_layers_d: int = 3  # effective when net_d == 'n_layers'
+    norm: str = "batch"  # batch | instance | none (discriminator norm layers)
     lr: float = 2e-4
     beta1: float = 0.5
     lambda_l1: float = 200.0
@@ -79,11 +82,30 @@ class TrainState:
 
 
 def build_modules(cfg: Pix2PixConfig):
+    """Build (generator, discriminator). The discriminator dispatch mirrors
+    define_D (/root/reference/models/networks.py:163-209): basic = 3-layer
+    PatchGAN, n_layers = PatchGAN with --n_layers_D convs, pixel = 1x1
+    PixelGAN, seg = shared-encoder PatchGAN + UNet seg decoder (the seg
+    head's output is ignored by the GAN losses; only the patch logits feed
+    them — see _d_forward)."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     gen = Generator(
         cnum=cfg.ngf, dtype=dtype, use_pallas_attention=cfg.pallas_attention
     )
-    d = NLayerDiscriminator(ndf=cfg.ndf, n_layers=3, norm="batch", dtype=dtype)
+    if cfg.net_d == "basic":
+        d = NLayerDiscriminator(ndf=cfg.ndf, n_layers=3, norm=cfg.norm, dtype=dtype)
+    elif cfg.net_d == "n_layers":
+        d = NLayerDiscriminator(
+            ndf=cfg.ndf, n_layers=cfg.n_layers_d, norm=cfg.norm, dtype=dtype
+        )
+    elif cfg.net_d == "pixel":
+        d = PixelDiscriminator(ndf=cfg.ndf, norm=cfg.norm, dtype=dtype)
+    elif cfg.net_d == "seg":
+        from .legacy import SegDiscriminator
+
+        d = SegDiscriminator(ndf=cfg.ndf, n_layers=cfg.n_layers_d)
+    else:
+        raise NotImplementedError(f"Discriminator model name [{cfg.net_d}] is not recognized")
     return gen, d
 
 
@@ -104,16 +126,18 @@ def init_state(rng: jax.Array, cfg: Pix2PixConfig, batch_size: int = 1) -> Train
     d2 = disc.init(k2, x, train=True)
     d3 = disc.init(k3, x, train=True)
     opt = make_optimizer(cfg)
+    # instance/none norm variants carry no batch_stats collection
+    empty = {}
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=gv["params"],
         g_sn=gv["sn"],
         d1_params=d1["params"],
-        d1_stats=d1["batch_stats"],
+        d1_stats=d1.get("batch_stats", empty),
         d2_params=d2["params"],
-        d2_stats=d2["batch_stats"],
+        d2_stats=d2.get("batch_stats", empty),
         d3_params=d3["params"],
-        d3_stats=d3["batch_stats"],
+        d3_stats=d3.get("batch_stats", empty),
         opt_g=opt.init(gv["params"]),
         opt_d1=opt.init(d1["params"]),
         opt_d2=opt.init(d2["params"]),
@@ -184,10 +208,14 @@ def generator_forward(
 
 
 def _d_forward(disc, params, stats, x):
-    logits, mut = disc.apply(
+    out, mut = disc.apply(
         {"params": params, "batch_stats": stats}, x, train=True, mutable=["batch_stats"]
     )
-    return logits, mut["batch_stats"]
+    # --netD seg returns (patch_logits, seg_map); the GAN losses consume the
+    # patch logits only (the reference's pix2pix path never trains the seg
+    # head either — GANLoss on the raw tuple would be a crash there).
+    logits = out[0] if isinstance(out, tuple) else out
+    return logits, mut.get("batch_stats", {})
 
 
 def _update_sn_tree(params, sn):
@@ -377,6 +405,10 @@ class LRSchedule:
 def _option_setter(parser, is_train):
     # pix2pix_model.py:65-72: defaults + lambda_L1
     parser.set_defaults(norm="batch", netG="unet_256", dataset_mode="aligned")
+    # pix2pix defaults (reference pix2pix_model.py:67-70): batchnorm Ds,
+    # unet_256 netG name (cosmetic here — G is the inpaint Generator),
+    # aligned dataset
+    parser.set_defaults(norm="batch", netG="unet_256", dataset_mode="aligned")
     if is_train:
         parser.set_defaults(pool_size=0, gan_mode="vanilla")
         parser.add_argument("--lambda_L1", type=float, default=200.0)
@@ -391,6 +423,9 @@ class Pix2PixModel:
         self.cfg = Pix2PixConfig(
             ngf=16,  # reference hard-codes G width (pix2pix_model.py:103)
             ndf=opt.ndf,
+            net_d=getattr(opt, "netD", "basic"),
+            n_layers_d=getattr(opt, "n_layers_D", 3),
+            norm=getattr(opt, "norm", "batch"),
             lr=opt.lr if hasattr(opt, "lr") else 2e-4,
             beta1=getattr(opt, "beta1", 0.5),
             lambda_l1=getattr(opt, "lambda_L1", 200.0),

@@ -59,3 +59,18 @@ def test_split_partition(tmp_path):
     assert set(normal) == {"p1_20", "p2_19"}
     assert set(abnormal) == {"p1_21", "p2_20"}
     assert by_patient == {"p1": ["20"], "p2": ["19"]}
+
+
+def test_shipped_split_file_found_and_parsed(tmp_path, monkeypatch):
+    """The repo ships vertebra_data.json (Verse2019 splits, 1460 verts); the
+    dataset finds it from any cwd when dataroot has no local split file."""
+    import os
+
+    from healthivert_tpu.data.aligned import load_split, partition_normal
+
+    root = os.path.join(os.path.dirname(__file__), "..", "vertebra_data.json")
+    assert os.path.exists(root)
+    counts = {p: len(load_split(root, p)) for p in ("train", "test", "val")}
+    assert counts == {"train": 729, "test": 366, "val": 365}
+    n, a, _ = partition_normal(load_split(root, "train"))
+    assert len(n) + len(a) == 729 and len(a) > 0

@@ -99,3 +99,65 @@ def test_gan_loss_vanilla_matches_torch():
     assert float(gan_loss(jnp.asarray(logits), True, "lsgan")) == pytest.approx(
         float(((logits - 1) ** 2).mean()), rel=1e-5
     )
+
+
+@pytest.mark.parametrize(
+    "net_d,n_layers_d,norm,out_hw",
+    [
+        ("basic", 3, "batch", 30),       # 70x70 PatchGAN on 256 input
+        ("basic", 3, "instance", 30),
+        ("basic", 3, "none", 30),
+        ("n_layers", 2, "batch", 62),    # one fewer stride-2 stage
+        ("n_layers", 4, "batch", 14),
+        ("pixel", 3, "batch", 256),      # 1x1 PixelGAN preserves H,W
+        ("pixel", 3, "instance", 256),
+    ],
+)
+def test_define_d_dispatch_shapes(net_d, n_layers_d, norm, out_hw):
+    """--netD/--n_layers_D/--norm select the discriminator (define_D parity,
+    reference networks.py:163-209)."""
+    import jax
+
+    from healthivert_tpu.models.pix2pix import Pix2PixConfig, build_modules
+
+    cfg = Pix2PixConfig(ngf=4, ndf=8, net_d=net_d, n_layers_d=n_layers_d, norm=norm)
+    _, d = build_modules(cfg)
+    x = jnp.zeros((2, 256, 256, 1), jnp.float32)
+    variables = d.init(jax.random.PRNGKey(0), x, train=True)
+    if norm == "batch":
+        assert "batch_stats" in variables
+    else:
+        assert "batch_stats" not in variables
+    out = d.apply(variables, x, train=True, mutable=["batch_stats"])[0]
+    assert out.shape == (2, out_hw, out_hw, 1)
+
+
+def test_define_d_seg_variant_trains():
+    """--netD seg builds the shared-encoder seg discriminator; the train step
+    consumes its patch logits."""
+    import jax
+
+    from healthivert_tpu.data.synthetic import SyntheticDataset
+    from healthivert_tpu.models.legacy import SegDiscriminator
+    from healthivert_tpu.models.pix2pix import (
+        Pix2PixConfig, build_modules, init_state, train_step,
+    )
+
+    cfg = Pix2PixConfig(ngf=4, ndf=8, net_d="seg", image_size=64)
+    _, d = build_modules(cfg)
+    assert isinstance(d, SegDiscriminator)
+
+    ds = SyntheticDataset(batch_size=2, seed=0, shape=(64, 64, 16),
+                          vert_ids=(19, 20), vert_height=14, gap=8)
+    batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
+    state = init_state(jax.random.PRNGKey(0), cfg, batch_size=2)
+    state, losses = train_step(state, batch, jnp.float32(2e-4), cfg)
+    assert np.isfinite(float(losses["D_real_1"]))
+    assert int(state.step) == 1
+
+
+def test_unknown_netd_raises():
+    from healthivert_tpu.models.pix2pix import Pix2PixConfig, build_modules
+
+    with pytest.raises(NotImplementedError):
+        build_modules(Pix2PixConfig(net_d="nope"))
