@@ -128,6 +128,72 @@ def extract_mask_volume(label_data: np.ndarray, label: int, area_threshold: int 
     return mask_volume
 
 
+def extract_mask_volume_left(label_data: np.ndarray, label: int):
+    """Alternate strategy (straighten_mask_3d.py:308-363): per slice, keep
+    only the LEFTMOST connected component of the vertebra (by min bounding-box
+    column) before the 1.1x min-area-rect — a pedicle workaround for data
+    that skipped the posterior-element cleanup. Slices whose component
+    vanishes simply get no mask (same as the reference's bare except)."""
+    loc = np.where(label_data == label)
+    if loc[2].size == 0:
+        return np.zeros_like(label_data, np.float64)
+    z0, z1 = int(loc[2].min()), int(loc[2].max())
+    other = (label_data != label) & (label_data != 0)
+    binary = (label_data == label).astype(np.uint8)
+
+    mask_volume = np.zeros(label_data.shape, np.float64)
+    h, w = label_data.shape[:2]
+    for z in range(z0, z1 + 1):
+        labels, n = ng.cc_label(binary[:, :, z])
+        if n == 0:
+            continue
+        # leftmost component = smallest bounding-box column
+        best, best_col = None, None
+        for i in range(1, n + 1):
+            cols = np.where(labels == i)[1]
+            if cols.size == 0:
+                continue
+            c = int(cols.min())
+            if best_col is None or c < best_col:
+                best, best_col = i, c
+        pts_rc = np.argwhere(labels == best)
+        pts = pts_rc[:, ::-1].astype(np.float64)  # (x=col, y=row)
+        corners, center = ng.min_area_rect(pts)
+        scaled = (corners - center) * 1.1 + center
+        bbox = ng.fill_convex_quad(np.rint(scaled).astype(np.int32), (h, w), 255)
+        bbox[other[:, :, z]] = 0
+        mask_volume[:, :, z] = bbox
+    return mask_volume
+
+
+def extract_mask_3dvolume(label_data: np.ndarray, label: int):
+    """Alternate strategy (straighten_mask_3d.py:438-461): one axis-aligned
+    3D bounding box of the vertebra, grown 1.1x in-plane around its center,
+    value 255, other-vertebra voxels zeroed."""
+    loc = np.where(label_data == label)
+    if loc[0].size == 0:
+        return np.zeros(label_data.shape, np.uint8)
+    x_min, x_max = int(loc[0].min()), int(loc[0].max())
+    y_min, y_max = int(loc[1].min()), int(loc[1].max())
+    z_min, z_max = int(loc[2].min()), int(loc[2].max())
+
+    scale = 1.1
+    cx, cy = int((x_max + x_min) / 2), int((y_max + y_min) / 2)
+    x_min = int((x_min - cx) * scale + cx)
+    x_max = int((x_max - cx) * scale + cx)
+    y_min = int((y_min - cy) * scale + cy)
+    y_max = int((y_max - cy) * scale + cy)
+    # clamp: the reference leaves negative starts, which numpy-wrap to an
+    # empty slice for vertebrae touching the volume edge — clamping is the
+    # intended box
+    x_min, y_min = max(x_min, 0), max(y_min, 0)
+
+    mask = np.zeros(label_data.shape, np.uint8)
+    mask[x_min : x_max + 1, y_min : y_max + 1, z_min : z_max + 1] = 255
+    mask[(label_data != label) & (label_data != 0)] = 0
+    return mask
+
+
 # ------------------------------------------------------------ centroids
 
 def calculate_center_of_mass(data: np.ndarray, label: int) -> np.ndarray:
@@ -163,6 +229,13 @@ def write_centroid_json(seg_path: str, json_path: str) -> List[dict]:
 
 # ----------------------------------------------------------- full pipeline
 
+_MASK_STRATEGIES = {
+    "rect": extract_mask_volume,  # default: per-slice min-area-rect of the cleaned body
+    "left": extract_mask_volume_left,
+    "3d": extract_mask_3dvolume,
+}
+
+
 def process_mask3d(
     ct_path: str,
     label_path: str,
@@ -170,14 +243,24 @@ def process_mask3d(
     vertebrae_ids: Sequence[int],
     output_folder: str,
     outputsize=(256, 256, 64),
+    mask_mode: str = "rect",
+    reorient: str = None,
 ):
     """Straighten one patient and emit per-vertebra CT/label/mask_2d crops
-    (straighten_mask_3d.py:463-562)."""
+    (straighten_mask_3d.py:463-562). mask_mode selects the de-pedicle mask
+    strategy (rect | left | 3d, see _MASK_STRATEGIES); reorient='RAI' first
+    brings both volumes to that axis order (reorient_to,
+    straighten_mask_3d.py:45-57 — real-world NIfTIs are not always RAI)."""
+    extract_mask = _MASK_STRATEGIES[mask_mode]
     with open(json_path) as f:
         data = json.load(f)
     ct_img = nifti.load(ct_path)
+    label_img = nifti.load(label_path)
+    if reorient:
+        ct_img = nifti.reorient_to(ct_img, tuple(reorient.upper()))
+        label_img = nifti.reorient_to(label_img, tuple(reorient.upper()))
     ct_data = ct_img.get_fdata()
-    label_data = nifti.load(label_path).get_fdata()
+    label_data = label_img.get_fdata()
 
     coordinates = [
         [e["X"], e["Y"], e["Z"]] for e in data if isinstance(e, dict) and "X" in e
@@ -214,7 +297,7 @@ def process_mask3d(
             continue
         ct_crop = extract_3d_volume(straight_ct, centroid, size=outputsize)
         lb_crop = extract_3d_volume(straight_label, centroid, size=outputsize)
-        mask_crop = extract_mask_volume(lb_crop, label)
+        mask_crop = extract_mask(lb_crop, label)
         for kind, vol in (("CT", ct_crop), ("label", lb_crop), ("mask_2d", mask_crop)):
             p = os.path.join(dirs[kind], f"{basename}_{label}.nii.gz")
             nifti.save(nifti.Nifti1Image(np.asarray(vol, np.float32), ct_img.affine), p)
@@ -222,7 +305,8 @@ def process_mask3d(
     return outputs
 
 
-def process_data(data_folder: str, data: Dict, output_folder: str, outputsize=(256, 256, 64)):
+def process_data(data_folder: str, data: Dict, output_folder: str, outputsize=(256, 256, 64),
+                 mask_mode: str = "rect", reorient: str = None):
     """Walk {category: {patient: [vert_ids]}} (straighten_mask_3d.py:574-621)."""
     done = []
     for category, patients in data.items():
@@ -235,5 +319,6 @@ def process_data(data_folder: str, data: Dict, output_folder: str, outputsize=(2
             js = os.path.join(pdir, f"{patient_id}.json")
             if not all(os.path.exists(p) for p in (ct, msk, js)):
                 continue
-            done += process_mask3d(ct, msk, js, vertebrae_ids, output_folder, outputsize)
+            done += process_mask3d(ct, msk, js, vertebrae_ids, output_folder, outputsize,
+                                   mask_mode=mask_mode, reorient=reorient)
     return done

@@ -148,3 +148,90 @@ def save(img: Nifti1Image, path) -> None:
     with open(tmp, "wb") as f:
         f.write(payload)
     os.replace(tmp, path)
+
+# ------------------------------------------------------- axis orientation
+#
+# The reference's reorient_to (straighten_mask_3d.py:45-57) leans on
+# nibabel.orientations to bring real-world scans into a canonical axis order
+# before straightening. Same semantics here, pure numpy: every data axis is
+# matched to its nearest world axis (+/- direction), then flips + transpose
+# carry the array to the requested axis codes and the affine is updated so
+# world coordinates are preserved.
+
+_AXIS_CODES = (("L", "R"), ("P", "A"), ("I", "S"))  # (negative, positive) per world axis
+
+
+def _orientation_of(affine: np.ndarray) -> np.ndarray:
+    """(3, 2) rows indexed by data axis: [world_axis, direction]. Greedy
+    largest-|cosine| assignment of data axes to world axes."""
+    rzs = np.asarray(affine, np.float64)[:3, :3]
+    zooms = np.linalg.norm(rzs, axis=0)
+    zooms[zooms == 0] = 1.0
+    cos = rzs / zooms
+    out = np.zeros((3, 2), np.int64)
+    score = np.abs(cos.copy())
+    for _ in range(3):
+        w, d = divmod(int(np.argmax(score)), 3)  # world axis w, data axis d
+        out[d] = (w, 1 if cos[w, d] >= 0 else -1)
+        score[w, :] = -1.0
+        score[:, d] = -1.0
+    return out
+
+
+def _axcodes_orientation(axcodes) -> np.ndarray:
+    """Orientation rows for axis-code labels, e.g. ('R','A','I')."""
+    out = []
+    for code in axcodes:
+        for world_axis, (neg, pos) in enumerate(_AXIS_CODES):
+            if code == pos:
+                out.append((world_axis, 1))
+                break
+            if code == neg:
+                out.append((world_axis, -1))
+                break
+        else:
+            raise ValueError(f"unknown axis code {code!r}")
+    return np.asarray(out, np.int64)
+
+
+def orientation_codes(affine: np.ndarray) -> tuple:
+    """Axis-code labels of a volume's current orientation, e.g. ('R','A','S')."""
+    return tuple(
+        _AXIS_CODES[w][(d + 1) // 2] for w, d in _orientation_of(affine)
+    )
+
+
+def reorient_to(img: Nifti1Image, axcodes_to=("R", "A", "I")) -> Nifti1Image:
+    """Return a copy of img with data axes rearranged to the requested axis
+    codes and an affine mapping the new indices to the SAME world points
+    (reference reorient_to, straighten_mask_3d.py:45-57)."""
+    cur = _orientation_of(img.affine)
+    want = _axcodes_orientation(axcodes_to)
+
+    # per data axis: where it must land and whether it flips
+    dest = np.zeros(3, np.int64)
+    flip = np.zeros(3, np.int64)
+    for d in range(3):
+        w, s = cur[d]
+        k = int(np.where(want[:, 0] == w)[0][0])
+        dest[d] = k
+        flip[d] = s * want[k, 1]
+
+    arr = np.asarray(img.data)
+    for d in range(3):
+        if flip[d] < 0:
+            arr = np.flip(arr, axis=d)
+    perm = np.argsort(dest)  # new axis k comes from old axis perm[k]
+    arr = np.transpose(arr, tuple(perm) + tuple(range(3, arr.ndim)))
+
+    # index map new -> old: old_index = P @ new_index (+ flip offsets), so
+    # new_affine = old_affine @ T with T built in old-axis order.
+    t = np.eye(4)
+    for d in range(3):
+        t[d, :] = 0.0
+        t[d, dest[d]] = float(flip[d])
+        if flip[d] < 0:
+            t[d, 3] = float(img.data.shape[d] - 1)
+    new_affine = np.asarray(img.affine, np.float64) @ t
+    spacing = tuple(float(img.spacing[perm[k]]) for k in range(3))
+    return Nifti1Image(data=np.ascontiguousarray(arr), affine=new_affine, spacing=spacing)

@@ -30,12 +30,17 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--split", default=None)
     p.add_argument("--size", type=int, nargs=3, default=(256, 256, 64))
+    p.add_argument("--mask_mode", choices=("rect", "left", "3d"), default="rect",
+                   help="de-pedicle mask strategy (reference alternates :308-363/:438-461)")
+    p.add_argument("--reorient", default=None, metavar="RAI",
+                   help="reorient volumes to this axis-code order before straightening")
     args = p.parse_args(argv)
 
     if args.split:
         with open(args.split) as f:
             data = json.load(f)
-        done = process_data(args.root, data, args.out, tuple(args.size))
+        done = process_data(args.root, data, args.out, tuple(args.size),
+                            mask_mode=args.mask_mode, reorient=args.reorient)
         print(f"straightened {len(done)} vertebrae")
         return
 
@@ -53,7 +58,8 @@ def main(argv=None):
             ct = msk
         with open(js) as f:
             vert_ids = [e["label"] for e in json.load(f) if isinstance(e, dict)]
-        outs = process_mask3d(ct, msk, js, vert_ids, args.out, tuple(args.size))
+        outs = process_mask3d(ct, msk, js, vert_ids, args.out, tuple(args.size),
+                              mask_mode=args.mask_mode, reorient=args.reorient)
         print(patient, "->", outs)
 
 

@@ -141,3 +141,102 @@ def test_axial_mask_extraction(rng):
     assert res["mask"][50, 45] == 255  # inside the body rect
     assert (res["mask"][labels[:, :, res["center_z"]] == 21] == 0).all()
     assert res["masked_image"][res["mask"] == 255].sum() == 0
+
+
+# --------------------------------------------------- C21 alternates (round 2)
+
+
+def test_reorient_to_preserves_world_points():
+    """reorient_to: data is rearranged but every voxel keeps its world
+    coordinate (affine consistency), for flip-only and permuted inputs."""
+    from healthivert_tpu.utils import nifti
+
+    rng = np.random.default_rng(3)
+    vol = rng.random((5, 7, 9)).astype(np.float32)
+
+    # LPS (flips), and a permuted orientation (data axes = A,S,R)
+    aff_lps = np.diag([-2.0, -1.5, 3.0, 1.0])
+    aff_asr = np.array([
+        [0, 0, 1.0, 4.0],
+        [1.5, 0, 0, -2.0],
+        [0, 2.0, 0, 1.0],
+        [0, 0, 0, 1.0],
+    ])
+    for aff in (aff_lps, aff_asr):
+        img = nifti.Nifti1Image(vol.copy(), aff, tuple(np.linalg.norm(aff[:3, :3], axis=0)))
+        out = nifti.reorient_to(img, ("R", "A", "I"))
+        assert nifti.orientation_codes(out.affine) == ("R", "A", "I")
+        assert sorted(out.data.shape) == sorted(vol.shape)
+        # every voxel value must sit at the same world point
+        corners = [(0, 0, 0), tuple(s - 1 for s in out.data.shape)]
+        inner = [tuple(rng.integers(0, s) for s in out.data.shape) for _ in range(4)]
+        for idx in corners + inner:
+            world = out.affine @ np.array([*idx, 1.0])
+            # invert the ORIGINAL affine to find the source voxel
+            src = np.linalg.solve(np.asarray(aff, float), world)
+            src_idx = tuple(int(round(v)) for v in src[:3])
+            assert out.data[idx] == vol[src_idx], (aff, idx)
+
+
+def test_reorient_to_identity_when_already_oriented():
+    from healthivert_tpu.utils import nifti
+
+    vol = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    aff = np.diag([1.0, 1.0, -1.0, 1.0])  # RAI already
+    img = nifti.Nifti1Image(vol, aff, (1.0, 1.0, 1.0))
+    out = nifti.reorient_to(img, ("R", "A", "I"))
+    np.testing.assert_array_equal(out.data, vol)
+    np.testing.assert_allclose(out.affine, aff)
+
+
+def test_extract_mask_volume_left_keeps_leftmost_component():
+    from healthivert_tpu.straighten.pipeline import extract_mask_volume_left
+
+    lab = np.zeros((32, 32, 3), np.float64)
+    # slice 1: two components of label 5 — left block (cols 2..6) and right
+    # block (cols 20..26); plus an other-vertebra voxel inside the left box
+    lab[10:16, 2:7, 1] = 5
+    lab[10:16, 20:27, 1] = 5
+    lab[12, 4, 1] = 7  # other label punches a hole
+    m = extract_mask_volume_left(lab, 5)
+    assert m[:, :, 0].sum() == 0 and m[:, :, 2].sum() == 0
+    sl = m[:, :, 1]
+    assert sl[12, 3] == 255  # inside leftmost box
+    assert sl[12, 23] == 0  # right component excluded
+    assert sl[12, 4] == 0  # other-label voxel zeroed
+
+
+def test_extract_mask_3dvolume_matches_reference_formula():
+    from healthivert_tpu.straighten.pipeline import extract_mask_3dvolume
+
+    rng = np.random.default_rng(0)
+    lab = np.zeros((40, 40, 10), np.float64)
+    lab[10:20, 14:30, 2:7] = 6
+    lab[25:28, 5:9, 3:5] = 7  # other vertebra, outside the grown box
+    lab[15, 20, 4] = 8  # other vertebra INSIDE the box -> zeroed
+    m = extract_mask_3dvolume(lab, 6)
+    # independent mirror of straighten_mask_3d.py:438-461
+    loc = np.where(lab == 6)
+    x0, x1 = loc[0].min(), loc[0].max()
+    y0, y1 = loc[1].min(), loc[1].max()
+    z0, z1 = loc[2].min(), loc[2].max()
+    cx, cy = int((x1 + x0) / 2), int((y1 + y0) / 2)
+    gx0, gx1 = int((x0 - cx) * 1.1 + cx), int((x1 - cx) * 1.1 + cx)
+    gy0, gy1 = int((y0 - cy) * 1.1 + cy), int((y1 - cy) * 1.1 + cy)
+    want = np.zeros_like(lab, np.uint8)
+    want[max(gx0, 0):gx1 + 1, max(gy0, 0):gy1 + 1, z0:z1 + 1] = 255
+    want[(lab != 6) & (lab != 0)] = 0
+    np.testing.assert_array_equal(m, want)
+    assert m[15, 20, 4] == 0
+
+
+def test_mask_mode_dispatch():
+    from healthivert_tpu.straighten.pipeline import (
+        _MASK_STRATEGIES, extract_mask_3dvolume, extract_mask_volume,
+        extract_mask_volume_left,
+    )
+
+    assert _MASK_STRATEGIES == {
+        "rect": extract_mask_volume, "left": extract_mask_volume_left,
+        "3d": extract_mask_3dvolume,
+    }
