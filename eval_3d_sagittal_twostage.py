@@ -41,7 +41,9 @@ def main(argv=None):
 
     state = init_state(jax.random.PRNGKey(opt.seed), cfg)
     run_dir = os.path.join(opt.checkpoints_dir, opt.name)
-    if ckpt.latest_exists(run_dir, opt.epoch):
+    if getattr(opt, "load_pth", None):
+        state = ckpt.restore_generator_pth(state, opt.load_pth)
+    elif ckpt.latest_exists(run_dir, opt.epoch):
         state = ckpt.restore_checkpoint(state, run_dir, opt.epoch)
         print(f"loaded checkpoint {run_dir}/{opt.epoch}")
     elif ckpt.latest_exists(run_dir, "generator"):

@@ -52,6 +52,9 @@ def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     # additional parameters
     parser.add_argument("--epoch", type=str, default="latest")
     parser.add_argument("--load_iter", type=int, default=0)
+    parser.add_argument("--load_pth", type=str, default=None,
+                        help="path to a reference torch .pth generator state dict "
+                             "to ingest (no torch needed; utils/pth.py)")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--suffix", default="", type=str)
     parser.add_argument("--use_wandb", action="store_true")

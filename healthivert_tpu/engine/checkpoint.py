@@ -58,3 +58,15 @@ def restore_generator(state, directory: str, tag: str = "generator"):
         {"g_params": state.g_params, "g_sn": state.g_sn}, restored
     )
     return state.replace(g_params=g["g_params"], g_sn=g["g_sn"])
+
+
+def restore_generator_pth(state, pth_path: str):
+    """Overlay a reference torch .pth generator checkpoint (state dict from
+    /root/reference/models/base_model.py:189-212 save format) onto the
+    TrainState's generator params + SN vectors. No torch required — see
+    utils/pth.py."""
+    from healthivert_tpu.utils.pth import load_generator_pth
+
+    params, sn, n = load_generator_pth(pth_path, state.g_params, state.g_sn)
+    print(f"loaded {n} generator tensors from {pth_path}")
+    return state.replace(g_params=params, g_sn=sn)

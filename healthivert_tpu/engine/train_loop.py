@@ -90,6 +90,8 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
     visualizer = Visualizer(opt)
 
     state = init_state(jax.random.PRNGKey(opt.seed), cfg)
+    if getattr(opt, "load_pth", None):
+        state = ckpt.restore_generator_pth(state, opt.load_pth)
     if opt.continue_train and ckpt.latest_exists(run_dir, opt.epoch):
         state = ckpt.restore_checkpoint(state, run_dir, opt.epoch)
         print(f"resumed from {run_dir}/{opt.epoch} at step {int(state.step)}")
