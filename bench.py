@@ -59,24 +59,29 @@ def main():
 
     best = 0.0
     results = {}
-    for bs in (64, 128, 256):
-        ds = SyntheticDataset(batch_size=bs, seed=0, n_volumes=2)
-        batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
-        # warmup / compile; a D2H value fetch is the only reliable completion
-        # barrier on the tunneled backend (block_until_ready returns early)
-        out = jit_step(state.g_params, state.g_sn, batch)
-        float(jnp.sum(out[2]))
-        iters = 10
-        sps = 0.0
-        for _rep in range(2):  # best-of-2: the tunneled backend is jittery
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = jit_step(state.g_params, state.g_sn, batch)
-            # executions on one device stream are serialized; fetching the
-            # last output's data forces all queued steps to have completed
-            float(jnp.sum(out[0])) + float(jnp.sum(out[2]))
-            dt = time.perf_counter() - t0
-            sps = max(sps, bs * iters / dt)
+    for bs in (64, 128, 256, 512):
+        try:
+            ds = SyntheticDataset(batch_size=bs, seed=0, n_volumes=2)
+            batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
+            # warmup / compile; a D2H value fetch is the only reliable
+            # completion barrier on the tunneled backend (block_until_ready
+            # returns early)
+            out = jit_step(state.g_params, state.g_sn, batch)
+            float(jnp.sum(out[2]))
+            iters = 10
+            sps = 0.0
+            for _rep in range(2):  # best-of-2: the tunneled backend is jittery
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    out = jit_step(state.g_params, state.g_sn, batch)
+                # executions on one device stream are serialized; fetching the
+                # last output's data forces all queued steps to have completed
+                float(jnp.sum(out[0])) + float(jnp.sum(out[2]))
+                dt = time.perf_counter() - t0
+                sps = max(sps, bs * iters / dt)
+        except Exception as e:  # e.g. OOM at the largest batch
+            print(f"# batch {bs} failed: {e!r}"[:200], file=sys.stderr)
+            continue
         results[bs] = sps
         best = max(best, sps)
         print(f"# batch {bs}: {sps:.1f} slices/sec", file=sys.stderr)
@@ -132,26 +137,35 @@ def main():
         except Exception as e:
             print(f"# grad parity check failed: {e!r}", file=sys.stderr)
 
-    if os.environ.get("BENCH_SPINE") == "1":
-        # second north-star (BASELINE.json): per-spine end-to-end RHLV latency
-        from healthivert_tpu.data.synthetic import make_spine_volume
-        from healthivert_tpu.engine.infer3d import synthesize_volume
-        from healthivert_tpu.evaluation.rhlv import calculate_rhlv
+    # second north-star (BASELINE.json): per-spine end-to-end RHLV latency —
+    # full iterative 3-pass synthesis of one vertebra + RHLV quantification.
+    # Set BENCH_SPINE=0 to skip.
+    spine_latency = None
+    if os.environ.get("BENCH_SPINE", "1") != "0":
+        try:
+            from healthivert_tpu.data.synthetic import make_spine_volume
+            from healthivert_tpu.engine.infer3d import synthesize_volume
+            from healthivert_tpu.evaluation.rhlv import calculate_rhlv
 
-        rng = np.random.default_rng(0)
-        ct, labels, cam_v = make_spine_volume(rng, fractured={20: 0.6})
-        # warmup compile
-        synthesize_volume(state.g_params, state.g_sn, cfg, ct, labels, 20, cam_v)
-        t0 = time.perf_counter()
-        ct_fake, lb_fake = synthesize_volume(
-            state.g_params, state.g_sn, cfg, ct, labels, 20, cam_v
-        )
-        fake = (lb_fake == 20).astype(np.float64)
-        real = (labels == 20).astype(np.float64)
-        loc = np.where(real)[2]
-        calculate_rhlv(fake, real, int(loc.mean()), (loc.max() - loc.min()) // 5)
-        dt = time.perf_counter() - t0
-        print(f"# per-vertebra end-to-end RHLV latency: {dt:.2f} s", file=sys.stderr)
+            rng = np.random.default_rng(0)
+            ct, labels, cam_v = make_spine_volume(rng, fractured={20: 0.6})
+            # warmup compile
+            synthesize_volume(state.g_params, state.g_sn, cfg, ct, labels, 20, cam_v)
+            best_dt = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                ct_fake, lb_fake = synthesize_volume(
+                    state.g_params, state.g_sn, cfg, ct, labels, 20, cam_v
+                )
+                fake = (lb_fake == 20).astype(np.float64)
+                real = (labels == 20).astype(np.float64)
+                loc = np.where(real)[2]
+                calculate_rhlv(fake, real, int(loc.mean()), (loc.max() - loc.min()) // 5)
+                best_dt = min(best_dt, time.perf_counter() - t0)
+            spine_latency = best_dt
+            print(f"# per-vertebra end-to-end RHLV latency: {best_dt:.2f} s", file=sys.stderr)
+        except Exception as e:
+            print(f"# spine latency bench failed: {e!r}"[:200], file=sys.stderr)
 
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
@@ -182,6 +196,8 @@ def main():
         record["train_slices_per_sec_b16"] = round(train_sps, 2)
     if grad_parity is not None:
         record["attn_grad_parity_rel_max_err"] = round(grad_parity, 6)
+    if spine_latency is not None:
+        record["per_vertebra_rhlv_latency_s"] = round(spine_latency, 2)
     print(json.dumps(record))
 
 

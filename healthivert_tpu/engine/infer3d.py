@@ -32,15 +32,19 @@ MAXHEIGHT = 40
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_bf16", "use_pallas"))
-def _forward(g_params, g_sn, context, mask, cam, ratio, cfg: Pix2PixConfig,
+def _forward(g_params, g_sn, context_u8, mask_u8, cam_u8, ratio, cfg: Pix2PixConfig,
              use_bf16=True, use_pallas=False):
     from healthivert_tpu.models.generator import Generator
 
     gen = Generator(cnum=cfg.ngf, use_pallas_attention=use_pallas)
-    if use_bf16:
-        context = context.astype(jnp.bfloat16)
-        mask = mask.astype(jnp.bfloat16)
-        cam = cam.astype(jnp.bfloat16)
+    # inputs arrive as uint8 and are normalized ON DEVICE: the tunneled
+    # host->device link runs at ~MB/s, so shipping u8 instead of f32 cuts
+    # the per-pass upload 4x (the dominant per-vertebra cost; see VERDICT r1
+    # weak #6 / experiments/infer3d_prof.py)
+    dt = jnp.bfloat16 if use_bf16 else jnp.float32
+    context = context_u8.astype(dt) / 255.0 * 2.0 - 1.0
+    mask = mask_u8.astype(dt)
+    cam = cam_u8.astype(dt) / 255.0
     out = gen.apply(
         {"params": g_params, "sn": g_sn}, context, mask, 1.0 - cam, ratio
     )
@@ -80,9 +84,10 @@ def _slice_geometry(label_sl: np.ndarray, ct_sl: np.ndarray, cam_sl: np.ndarray,
     mask = np.zeros_like(ct_sl, np.uint8)
     mask[min_x : max_x + 1] = 1  # inclusive end, as :75
 
+    ct_u8 = ct_sl.astype(np.uint8)  # once; reused by _reassemble via geo
     ctx = np.zeros_like(ct_sl, np.uint8)
-    ctx[:min_x] = ct_sl.astype(np.uint8)[x1 - min_x : x1]
-    tail = ct_sl.astype(np.uint8)[x2 : x2 + (width - max_x)]
+    ctx[:min_x] = ct_u8[x1 - min_x : x1]
+    tail = ct_u8[x2 : x2 + (width - max_x)]
     ctx[max_x : max_x + tail.shape[0]] = tail
 
     cam_shift = np.zeros_like(ct_sl, np.uint8)
@@ -91,7 +96,8 @@ def _slice_geometry(label_sl: np.ndarray, ct_sl: np.ndarray, cam_sl: np.ndarray,
     ctail = cam_u8[x2 : x2 + (width - max_x)]
     cam_shift[max_x : max_x + ctail.shape[0]] = ctail
 
-    return dict(x1=x1, x2=x2, height=height, mask=mask, ctx=ctx, cam=cam_shift)
+    return dict(x1=x1, x2=x2, height=height, mask=mask, ctx=ctx, cam=cam_shift,
+                ct_u8=ct_u8)
 
 
 def _reassemble(geo, x_stage2, fine_seg_bin, pred_h, ct_sl, label_sl, vert_id):
@@ -108,7 +114,7 @@ def _reassemble(geo, x_stage2, fine_seg_bin, pred_h, ct_sl, label_sl, vert_id):
     fake = np.zeros_like(ct_sl, np.float64)
     # x_stage2 arrives already mapped to uint8 CT range on device
     fake[x_upper:x_bottom] = x_stage2[x_upper:x_bottom]
-    ori = ct_sl.astype(np.uint8).astype(np.float64)
+    ori = geo["ct_u8"].astype(np.float64)
     fake[:x_upper] = ((ori[hd // 2 : x1] / 255.0 * 2 - 1) + 1) * 127.5
     tail = ori[x2 : x2 + h - x_bottom]
     fake[x_bottom : x_bottom + tail.shape[0]] = tail
@@ -141,9 +147,10 @@ def _run_pass(g_params, g_sn, cfg, jobs, ratios, batch_size=32, use_bf16=True,
         rat = np.array(
             list(ratios[i0 : i0 + len(chunk)]) + [0.0] * pad, np.float32
         )
-        x = jnp.asarray(ctx.astype(np.float32) / 255.0 * 2 - 1)[..., None]
-        m = jnp.asarray(msk.astype(np.float32))[..., None]
-        c = jnp.asarray(cam.astype(np.float32) / 255.0)[..., None]
+        # ship uint8; normalization happens on device (see _forward)
+        x = jnp.asarray(ctx)[..., None]
+        m = jnp.asarray(msk)[..., None]
+        c = jnp.asarray(cam)[..., None]
         x2_, seg, ph = _forward(
             g_params, g_sn, x, m, c, jnp.asarray(rat), cfg, use_bf16, use_pallas
         )

@@ -29,9 +29,11 @@ from .evaluate import evaluate_model
 from .visualizer import HTMLGallery, Visualizer, save_images
 
 
-def _save_web_visuals(state, batch, cfg, run_dir, epoch, iters):
+def _save_web_visuals(state, batch, cfg, run_dir, epoch, iters, visualizer=None):
     """Training-time HTML gallery (reference visdom/HTML panels,
-    train.py:200-203): context / fake / real / seg rows under {run}/web."""
+    train.py:200-203): context / fake / real / seg rows under {run}/web.
+    Also mirrors the row to wandb when --use_wandb is on
+    (util/visualizer.py:173-188)."""
     import numpy as np
 
     from healthivert_tpu.models.pix2pix import build_modules, generator_forward
@@ -50,6 +52,8 @@ def _save_web_visuals(state, batch, cfg, run_dir, epoch, iters):
     }
     save_images(gallery, visuals, f"epoch{epoch:03d}_{iters:07d}")
     gallery.save()
+    if visualizer is not None:
+        visualizer.log_images(visuals, iters)
 
 
 def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
@@ -137,7 +141,7 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
                 visualizer.log_scalars("train", host_losses, total_iters)
 
             if getattr(opt, "display_freq", 0) and total_iters % opt.display_freq < opt.batch_size:
-                _save_web_visuals(state, batch, cfg, run_dir, epoch, total_iters)
+                _save_web_visuals(state, batch, cfg, run_dir, epoch, total_iters, visualizer)
 
             if total_iters % opt.save_latest_freq < opt.batch_size:
                 tag = f"iter_{total_iters}" if opt.save_by_iter else "latest"

@@ -68,6 +68,19 @@ class Visualizer:
         if self.wandb is not None:
             self.wandb.log({f"{tag}/{k}": float(v) for k, v in scalars.items()}, step=step)
 
+    def log_images(self, visuals: Dict[str, np.ndarray], step: int):
+        """wandb image logging (reference util/visualizer.py:173-188): one
+        wandb.Image per visual. No-op without --use_wandb."""
+        if self.wandb is None:
+            return
+        import wandb
+
+        imgs = {}
+        for label, im in visuals.items():
+            arr = tensor2im(im) if im.min() < 0 else tensor2im(im, 0.0, 1.0)
+            imgs[label] = wandb.Image(arr, caption=label)
+        self.wandb.log(imgs, step=step)
+
 
 class HTMLGallery:
     """Minimal dominate/HTML replacement (util/html.py:6-86)."""

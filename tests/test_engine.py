@@ -87,3 +87,44 @@ def test_synthesize_volume_coronal_axis(rng):
     ymid = (ys.min() + ys.max()) // 2
     assert ct_fake[:, ymid, :].max() > 0
     assert ct_fake[:, 0, :].max() == 0  # outside central range
+
+
+def test_visualizer_log_images_wandb(tmp_path, monkeypatch):
+    """log_images routes each visual to wandb.Image (util/visualizer.py:173-188
+    parity); silently a no-op without --use_wandb."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from healthivert_tpu.engine.visualizer import Visualizer
+
+    logged = {}
+
+    class FakeImage:
+        def __init__(self, arr, caption=None):
+            self.arr, self.caption = arr, caption
+
+    fake_wandb = types.SimpleNamespace(
+        Image=FakeImage,
+        init=lambda **kw: types.SimpleNamespace(
+            log=lambda d, step=None: logged.update(d)
+        ),
+    )
+    monkeypatch.setitem(sys.modules, "wandb", fake_wandb)
+
+    opt = types.SimpleNamespace(
+        checkpoints_dir=str(tmp_path), name="w", use_wandb=True
+    )
+    viz = Visualizer(opt)
+    assert viz.wandb is not None
+    visuals = {"fake_B": np.zeros((8, 8, 1), np.float32) - 0.5,
+               "CAM": np.ones((8, 8, 1), np.float32) * 0.5}
+    viz.log_images(visuals, step=3)
+    assert set(logged) == {"fake_B", "CAM"}
+    assert isinstance(logged["fake_B"], FakeImage)
+    assert logged["CAM"].arr.dtype == np.uint8
+
+    # without wandb: no-op
+    opt2 = types.SimpleNamespace(checkpoints_dir=str(tmp_path), name="w2", use_wandb=False)
+    Visualizer(opt2).log_images(visuals, step=1)
