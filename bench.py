@@ -132,8 +132,23 @@ def main():
             num = float(jnp.max(jnp.abs(g_pal - g_xla)))
             den = float(jnp.max(jnp.abs(g_xla))) or 1.0
             grad_parity = num / den
-            print(f"# attention grad parity (TPU, rel max err): {grad_parity:.3e}",
-                  file=sys.stderr)
+            cos = float(
+                jnp.sum(g_pal * g_xla)
+                / (jnp.linalg.norm(g_pal) * jnp.linalg.norm(g_xla))
+            )
+            # precision floor: the XLA path against ITSELF with f32-precision
+            # matmuls — the softmax amplifies the TPU's default bf16-multiply
+            # rounding identically in both paths (CPU interpret parity of the
+            # kernel is ~3e-5; see CLAUDE.md)
+            with jax.default_matmul_precision("float32"):
+                g_hp = jax.jit(jax.grad(lambda f: loss(f, False)))(f)
+            floor = float(jnp.max(jnp.abs(g_hp - g_xla))) / (
+                float(jnp.max(jnp.abs(g_hp))) or 1.0
+            )
+            grad_parity = {"pallas_vs_xla_rel_max": round(grad_parity, 6),
+                           "cosine": round(cos, 6),
+                           "xla_precision_floor_rel_max": round(floor, 6)}
+            print(f"# attention grad parity (TPU): {grad_parity}", file=sys.stderr)
         except Exception as e:
             print(f"# grad parity check failed: {e!r}", file=sys.stderr)
 
@@ -195,7 +210,7 @@ def main():
     if train_sps is not None:
         record["train_slices_per_sec_b16"] = round(train_sps, 2)
     if grad_parity is not None:
-        record["attn_grad_parity_rel_max_err"] = round(grad_parity, 6)
+        record["attn_grad_parity"] = grad_parity
     if spine_latency is not None:
         record["per_vertebra_rhlv_latency_s"] = round(spine_latency, 2)
     print(json.dumps(record))

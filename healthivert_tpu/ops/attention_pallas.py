@@ -310,6 +310,10 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret,
         )
 
     # --- fuse2 (permuted +-wd in the transposed flatten) ---
+    # the per-column logits max rides along in the same sweep (the tile is
+    # already in registers), saving a full s_ref read pass
+    g_rows = mm_ref[0]  # (L, 1)
+    m = jnp.full((1, num_l), -jnp.inf, jnp.float32)
     for t in range(nt):
         r0 = t * r_tile
         cur = b_ref[r0 : r0 + r_tile, :]
@@ -329,19 +333,19 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret,
             parts.append(b_ref[num_l - wd : num_l - 1, :])
             parts.append(b_ref[0 : r_tile - wd, :])
             minus = jax.lax.concatenate(parts, 0)
-        s_ref[r0 : r0 + r_tile, :] = (
+        fused = (
             cur
             + _col_perm_plus(plus, wd, interpret)
             + _col_perm_minus(minus, wd, interpret)
         )
-
-    # --- masked scaled softmax over rows, in place, then fold in gate/sum ---
-    g_rows = mm_ref[0]  # (L, 1)
-    m = jnp.full((1, num_l), -jnp.inf, jnp.float32)
-    for t in range(nt):
-        r0 = t * r_tile
-        logits = s_ref[r0 : r0 + r_tile, :] * g_rows[r0 : r0 + r_tile] * scale
+        s_ref[r0 : r0 + r_tile, :] = fused
+        logits = fused * g_rows[r0 : r0 + r_tile] * scale
         m = jnp.maximum(m, jnp.max(logits, axis=0, keepdims=True))
+
+    # --- masked scaled softmax over rows (max already collected above) ---
+    # NOTE: the 1/sum factor cannot be folded into the paste outputs — inv is
+    # a (1, L) lane vector and Mosaic can't reshape it to the (hd, wd, 1)
+    # query grid in-kernel (remote compile rejects the lane->sublane move)
     ssum = jnp.zeros((1, num_l), jnp.float32)
     for t in range(nt):
         r0 = t * r_tile
