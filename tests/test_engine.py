@@ -128,3 +128,60 @@ def test_visualizer_log_images_wandb(tmp_path, monkeypatch):
     # without wandb: no-op
     opt2 = types.SimpleNamespace(checkpoints_dir=str(tmp_path), name="w2", use_wandb=False)
     Visualizer(opt2).log_images(visuals, step=1)
+
+
+def test_infer3d_window_covers_all_pastable_rows():
+    """The 64-row device crop serves every row _reassemble can touch, for
+    every vertebra position and predicted height (incl. numpy's clamp at the
+    slice edge)."""
+    from healthivert_tpu.engine.infer3d import MAXHEIGHT, WINDOW
+
+    width = 256
+    for x1 in range(0, width):
+        for height in (0, 5, 20, 39, 40):
+            x2 = x1 + height
+            w0 = min(max(x1 - 20, 0), max(width - WINDOW, 0))
+            for ph in range(height, MAXHEIGHT + 1):
+                hd = ph - height
+                x_upper = x1 - hd // 2
+                x_bottom = x_upper + ph
+                if x_bottom <= x_upper or x_upper < 0:
+                    continue  # reassembly skips these
+                lo, hi = x_upper, min(x_bottom, width)
+                assert lo >= w0, (x1, height, ph)
+                assert hi <= w0 + WINDOW, (x1, height, ph)
+
+
+def test_infer3d_reassemble_windowed_matches_full(rng):
+    """Windowed paste-back == the full-slice formulation."""
+    import math
+
+    from healthivert_tpu.engine.infer3d import WINDOW, _reassemble, _slice_geometry
+
+    ct = (rng.random((256, 256)) * 255).astype(np.float64)
+    lab = np.zeros((256, 256))
+    lab[110:145, 60:200] = 20
+    geo = _slice_geometry(lab, ct, np.zeros_like(ct, np.float32), 20)
+    assert geo is not None and geo["w0"] == 90
+
+    x2_full = (rng.random((256, 256)) * 255).astype(np.float64)
+    seg_full = (rng.random((256, 256)) > 0.5).astype(np.float64)
+    pred_h = 38.7
+    w0 = geo["w0"]
+    fake, seg, h = _reassemble(
+        geo, x2_full[w0 : w0 + WINDOW], seg_full[w0 : w0 + WINDOW],
+        pred_h, ct, lab, 20,
+    )
+    # full-slice mirror of eval_3d:103-130
+    x1, x2 = geo["x1"], geo["x2"]
+    ph = max(math.ceil(pred_h), geo["height"])
+    hd = ph - geo["height"]
+    xu, xb = x1 - hd // 2, x1 - hd // 2 + ph
+    want = np.zeros((256, 256))
+    want[xu:xb] = x2_full[xu:xb]
+    ori = geo["ct_u8"].astype(np.float64)
+    want[:xu] = ((ori[hd // 2 : x1] / 255.0 * 2 - 1) + 1) * 127.5
+    tail = ori[x2 : x2 + 256 - xb]
+    want[xb : xb + tail.shape[0]] = tail
+    np.testing.assert_array_equal(fake, want)
+    assert (seg[xu:xb] == seg_full[xu:xb] * 20).all()
