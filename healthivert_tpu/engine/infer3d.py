@@ -38,20 +38,43 @@ MAXHEIGHT = 40
 WINDOW = 64
 
 
+def _band_inputs(ct, cam, x1, x2, min_x, max_x):
+    """Device twin of the reference's band geometry (eval_3d:56-82): the
+    40-row mask band plus the context/CAM rows shifted to abut it. All from
+    raw u8 slices + four scalars, so the host never ships full f32 planes."""
+    h = ct.shape[0]
+    r = jnp.arange(h, dtype=jnp.int32)[:, None]  # (H, 1)
+    src = jnp.where(r < min_x, r + x1 - min_x, x2 + r - max_x)
+    valid = (r < min_x) | ((r >= max_x) & (src < h))
+    src_c = jnp.clip(src, 0, h - 1)
+
+    def gather(img):
+        idx = jnp.broadcast_to(src_c, img.shape)
+        return jnp.where(valid, jnp.take_along_axis(img, idx, axis=0), 0)
+
+    mask = ((r >= min_x) & (r <= max_x)) & jnp.ones_like(ct, bool)  # inclusive end (:75)
+    return gather(ct), mask.astype(jnp.uint8), gather(cam)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "use_bf16", "use_pallas"))
-def _forward(g_params, g_sn, context_u8, mask_u8, cam_u8, ratio, w0, cfg: Pix2PixConfig,
-             use_bf16=True, use_pallas=False):
+def _forward(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, ratio, w0,
+             cfg: Pix2PixConfig, use_bf16=True, use_pallas=False):
     from healthivert_tpu.models.generator import Generator
 
     gen = Generator(cnum=cfg.ngf, use_pallas_attention=use_pallas)
-    # inputs arrive as uint8 and are normalized ON DEVICE: the tunneled
-    # host->device link runs at ~MB/s, so shipping u8 instead of f32 cuts
-    # the per-pass upload 4x (the dominant per-vertebra cost; see VERDICT r1
+    # inputs arrive as RAW u8 slices + band scalars; the context/mask/CAM
+    # planes are built ON DEVICE (_band_inputs) and normalized there: the
+    # tunneled host->device link runs at ~MB/s, so shipping two u8 planes
+    # instead of three f32 ones cuts the per-pass upload ~6x (VERDICT r1
     # weak #6 / experiments/infer3d_prof.py)
+    cam_sl = cam_stack[zidx]  # (B, H, W) gathered on device; stack ships once
+    ctx_u8, mask_u8, camsh_u8 = jax.vmap(_band_inputs)(
+        ct_u8, cam_sl, x1, x2, min_x, max_x
+    )
     dt = jnp.bfloat16 if use_bf16 else jnp.float32
-    context = context_u8.astype(dt) / 255.0 * 2.0 - 1.0
-    mask = mask_u8.astype(dt)
-    cam = cam_u8.astype(dt) / 255.0
+    context = ctx_u8[..., None].astype(dt) / 255.0 * 2.0 - 1.0
+    mask = mask_u8[..., None].astype(dt)
+    cam = camsh_u8[..., None].astype(dt) / 255.0
     out = gen.apply(
         {"params": g_params, "sn": g_sn}, context, mask, 1.0 - cam, ratio
     )
@@ -59,18 +82,20 @@ def _forward(g_params, g_sn, context_u8, mask_u8, cam_u8, ratio, w0, cfg: Pix2Pi
     # uint8-range volume anyway, and seg is binary — and only the WINDOW rows
     # starting at per-sample w0 are ever pasted back, so crop before the
     # device->host hop (u8 + crop = ~16x less D2H than f32 full slices)
-    ct_u8 = jnp.round((out.x_stage2.astype(jnp.float32) + 1.0) * 127.5).astype(jnp.uint8)
+    fake_u8 = jnp.round((out.x_stage2.astype(jnp.float32) + 1.0) * 127.5).astype(jnp.uint8)
     seg_u8 = (out.fine_seg > 0.5).astype(jnp.uint8)
-    win = min(WINDOW, ct_u8.shape[1])  # small volumes: window = whole slice
+    win = min(WINDOW, fake_u8.shape[1])  # small volumes: window = whole slice
     crop = jax.vmap(
         lambda img, r0: jax.lax.dynamic_slice_in_dim(img, r0, win, axis=0)
     )
-    return crop(ct_u8, w0), crop(seg_u8, w0), out.pred2_h.astype(jnp.float32) * MAXHEIGHT
+    return crop(fake_u8, w0), crop(seg_u8, w0), out.pred2_h.astype(jnp.float32) * MAXHEIGHT
 
 
-def _slice_geometry(label_sl: np.ndarray, ct_sl: np.ndarray, cam_sl: np.ndarray, vert_id: int):
-    """Band geometry for one slice (eval_3d_sagittal_twostage.py:46-98).
-    Returns None if the vertebra is absent after CC cleanup."""
+def _slice_geometry(label_sl: np.ndarray, ct_sl: np.ndarray, vert_id: int):
+    """Band geometry scalars for one slice (eval_3d_sagittal_twostage.py:46-98).
+    Returns None if the vertebra is absent after CC cleanup. The actual
+    context/mask/CAM planes are built on DEVICE from these scalars
+    (_band_inputs); only the raw u8 CT slice ships."""
     vert = (label_sl == vert_id).astype(np.float64)
     vert = remove_small_cc(vert, 50)
     coords = np.argwhere(vert)
@@ -93,25 +118,12 @@ def _slice_geometry(label_sl: np.ndarray, ct_sl: np.ndarray, cam_sl: np.ndarray,
         min_x = mask_x - MAXHEIGHT // 2
     max_x = min_x + MAXHEIGHT
 
-    mask = np.zeros_like(ct_sl, np.uint8)
-    mask[min_x : max_x + 1] = 1  # inclusive end, as :75
-
     ct_u8 = ct_sl.astype(np.uint8)  # once; reused by _reassemble via geo
-    ctx = np.zeros_like(ct_sl, np.uint8)
-    ctx[:min_x] = ct_u8[x1 - min_x : x1]
-    tail = ct_u8[x2 : x2 + (width - max_x)]
-    ctx[max_x : max_x + tail.shape[0]] = tail
-
-    cam_shift = np.zeros_like(ct_sl, np.uint8)
-    cam_u8 = (cam_sl * 255).astype(np.uint8)
-    cam_shift[:min_x] = cam_u8[x1 - min_x : x1]
-    ctail = cam_u8[x2 : x2 + (width - max_x)]
-    cam_shift[max_x : max_x + ctail.shape[0]] = ctail
 
     # device-output crop origin: covers every row _reassemble can touch
     # (x_upper >= x1-20; min(x_bottom, width) <= w0 + WINDOW for all cases)
     w0 = min(max(x1 - 20, 0), max(width - WINDOW, 0))
-    return dict(x1=x1, x2=x2, height=height, mask=mask, ctx=ctx, cam=cam_shift,
+    return dict(x1=x1, x2=x2, height=height, min_x=min_x, max_x=max_x,
                 ct_u8=ct_u8, w0=w0)
 
 
@@ -146,34 +158,36 @@ def _reassemble(geo, x_stage2_win, fine_seg_win, pred_h, ct_sl, label_sl, vert_i
     return fake, seg, height
 
 
-def _run_pass(g_params, g_sn, cfg, jobs, ratios, batch_size=32, use_bf16=True,
-              use_pallas=None):
-    """Batched forward over a list of geometry jobs; returns per-job outputs."""
+def _run_pass(g_params, g_sn, cfg, jobs, ratios, cam_stack, job_zidx,
+              batch_size=32, use_bf16=True, use_pallas=None):
+    """Batched forward over a list of geometry jobs; returns per-job outputs.
+    cam_stack is a device-resident (NZ, H, W) u8 array (uploaded once per
+    vertebra); job_zidx maps each job to its stack row."""
     if use_pallas is None:
         # the fused kernel is TPU-only (interpret mode is for tests)
         use_pallas = jax.default_backend() == "tpu"
     if not jobs:
         return []
-    s = cfg.image_size
     n = len(jobs)
     outs = []
     for i0 in range(0, n, batch_size):
         chunk = jobs[i0 : i0 + batch_size]
         pad = batch_size - len(chunk)
-        ctx = np.stack([j["ctx"] for j in chunk] + [chunk[-1]["ctx"]] * pad)
-        msk = np.stack([j["mask"] for j in chunk] + [chunk[-1]["mask"]] * pad)
-        cam = np.stack([j["cam"] for j in chunk] + [chunk[-1]["cam"]] * pad)
+        rep = lambda key: [j[key] for j in chunk] + [chunk[-1][key]] * pad
+        ct = np.stack(rep("ct_u8"))
         rat = np.array(
             list(ratios[i0 : i0 + len(chunk)]) + [0.0] * pad, np.float32
         )
-        w0 = np.array([j["w0"] for j in chunk] + [chunk[-1]["w0"]] * pad, np.int32)
-        # ship uint8; normalization happens on device (see _forward)
-        x = jnp.asarray(ctx)[..., None]
-        m = jnp.asarray(msk)[..., None]
-        c = jnp.asarray(cam)[..., None]
+        zidx = np.array(
+            list(job_zidx[i0 : i0 + len(chunk)])
+            + [job_zidx[i0 + len(chunk) - 1]] * pad, np.int32
+        )
+        ints = {k: jnp.asarray(np.array(rep(k), np.int32)) for k in
+                ("x1", "x2", "min_x", "max_x", "w0")}
         x2_, seg, ph = _forward(
-            g_params, g_sn, x, m, c, jnp.asarray(rat), jnp.asarray(w0),
-            cfg, use_bf16, use_pallas
+            g_params, g_sn, jnp.asarray(ct), cam_stack, jnp.asarray(zidx),
+            ints["x1"], ints["x2"], ints["min_x"], ints["max_x"],
+            jnp.asarray(rat), ints["w0"], cfg, use_bf16, use_pallas
         )
         x2_, seg, ph = np.asarray(x2_), np.asarray(seg), np.asarray(ph)
         for k in range(len(chunk)):
@@ -222,6 +236,16 @@ def synthesize_volume(
     ct_state = {z: sl(ct_vol, z).astype(np.float64) for z in z_list}
     lb_state = {z: sl(label_vol, z).astype(np.float64) for z in z_list}
 
+    # CAM never changes across passes: upload the whole u8 stack ONCE and
+    # let each pass gather its slices by index on device. Padded to a
+    # 16-slice bucket so vertebrae of similar extent share one compilation.
+    cams = np.stack([(sl(cam_vol, z) * 255).astype(np.uint8) for z in z_list])
+    bucket = -(-len(z_list) // 16) * 16
+    cam_stack = jnp.asarray(
+        np.pad(cams, ((0, bucket - len(z_list)), (0, 0), (0, 0)))
+    )
+    stack_row = {z: i for i, z in enumerate(z_list)}
+
     # three passes: upper neighbor, lower neighbor, target
     for which, nb in (("upper", -1), ("lower", +1), ("target", 0)):
         vid = vert_id + nb
@@ -232,13 +256,16 @@ def synthesize_volume(
             # both neighbor-presence checks read the ORIGINAL labels (:204,:213)
             if which == "lower" and not (vert_id < 24 and np.sum(sl(label_vol, z) == vid) > 200):
                 continue
-            geo = _slice_geometry(lb_state[z], ct_state[z], sl(cam_vol, z), vid)
+            geo = _slice_geometry(lb_state[z], ct_state[z], vid)
             if geo is None:
                 continue
             jobs.append(geo)
             job_z.append(z)
             job_ratio.append(ratios[z])
-        outs = _run_pass(g_params, g_sn, cfg, jobs, job_ratio, batch_size, use_bf16)
+        outs = _run_pass(
+            g_params, g_sn, cfg, jobs, job_ratio, cam_stack,
+            [stack_row[z] for z in job_z], batch_size, use_bf16,
+        )
         for geo, z, (x2_, seg, ph) in zip(jobs, job_z, outs):
             ct_new, lb_new, _ = _reassemble(
                 geo, x2_, seg, ph, ct_state[z], lb_state[z], vid

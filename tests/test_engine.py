@@ -161,7 +161,7 @@ def test_infer3d_reassemble_windowed_matches_full(rng):
     ct = (rng.random((256, 256)) * 255).astype(np.float64)
     lab = np.zeros((256, 256))
     lab[110:145, 60:200] = 20
-    geo = _slice_geometry(lab, ct, np.zeros_like(ct, np.float32), 20)
+    geo = _slice_geometry(lab, ct, 20)
     assert geo is not None and geo["w0"] == 90
 
     x2_full = (rng.random((256, 256)) * 255).astype(np.float64)
@@ -185,3 +185,39 @@ def test_infer3d_reassemble_windowed_matches_full(rng):
     want[xb : xb + tail.shape[0]] = tail
     np.testing.assert_array_equal(fake, want)
     assert (seg[xu:xb] == seg_full[xu:xb] * 20).all()
+
+
+def test_band_inputs_device_matches_host_mirror(rng):
+    """_band_inputs (device ctx/mask/CAM construction from scalars) ==
+    the reference's host formulation (eval_3d:56-82), incl. edge clamps."""
+    import jax.numpy as jnp
+
+    from healthivert_tpu.engine.infer3d import _band_inputs
+
+    width = 96
+    ct = (rng.random((width, 80)) * 255).astype(np.uint8)
+    cam = (rng.random((width, 80)) * 255).astype(np.uint8)
+    cases = [
+        (30, 55, 22, 62),   # interior band
+        (2, 10, 0, 40),     # clamped at top
+        (80, 94, width - 40, width),  # clamped at bottom (tail truncates)
+    ]
+    for x1, x2, min_x, max_x in cases:
+        ctx, mask, camsh = [np.asarray(t) for t in _band_inputs(
+            jnp.asarray(ct), jnp.asarray(cam),
+            jnp.int32(x1), jnp.int32(x2), jnp.int32(min_x), jnp.int32(max_x),
+        )]
+        # host mirror (the round-1 formulation)
+        want_mask = np.zeros_like(ct, np.uint8)
+        want_mask[min_x : max_x + 1] = 1
+        want_ctx = np.zeros_like(ct, np.uint8)
+        want_ctx[:min_x] = ct[x1 - min_x : x1]
+        tail = ct[x2 : x2 + (width - max_x)]
+        want_ctx[max_x : max_x + tail.shape[0]] = tail
+        want_cam = np.zeros_like(cam, np.uint8)
+        want_cam[:min_x] = cam[x1 - min_x : x1]
+        ctail = cam[x2 : x2 + (width - max_x)]
+        want_cam[max_x : max_x + ctail.shape[0]] = ctail
+        np.testing.assert_array_equal(mask, want_mask, err_msg=str((x1, x2, min_x, max_x)))
+        np.testing.assert_array_equal(ctx, want_ctx, err_msg=str((x1, x2, min_x, max_x)))
+        np.testing.assert_array_equal(camsh, want_cam, err_msg=str((x1, x2, min_x, max_x)))
