@@ -105,6 +105,15 @@ class _LazyTensor:
         return self._fn()
 
 
+class _ODict(dict):
+    """collections.OrderedDict stand-in. Real torch state dicts carry a
+    ``_metadata`` attribute that pickle applies via BUILD (instance-dict
+    state); weights don't need it, so absorb and drop it."""
+
+    def __setstate__(self, state):
+        pass
+
+
 class _Unpickler(pickle.Unpickler):
     def __init__(self, f, persistent_load):
         super().__init__(f, encoding="latin1")
@@ -128,7 +137,7 @@ class _Unpickler(pickle.Unpickler):
         if (module, name) == ("torch", "Size"):
             return tuple
         if (module, name) == ("collections", "OrderedDict"):
-            return dict
+            return _ODict
         if module.startswith(("torch", "numpy", "collections", "builtins", "_codecs")):
             try:
                 return super().find_class(module, name)

@@ -1,0 +1,171 @@
+"""Full-forward numeric parity against the reference's own torch Generator.
+
+The strongest parity anchor in the suite: build the reference
+`models/inpaint_networks.py:16` Generator (imported from /root/reference at
+test time as an oracle — never copied), converge its spectral-norm u/v
+buffers, save its real `state_dict()` with torch.save, ingest the .pth with
+our no-torch reader (`healthivert_tpu/utils/pth.py`), and compare every
+generator output of the flax model against the torch model on the same
+input. This validates in one shot:
+
+- the .pth key-name mapping against torch's actual spectral_norm layout
+  (weight_orig / weight_u / weight_v), not our own inverse mapping;
+- the whole two-stage forward math: conv paddings, ELU placement, SN
+  division, dilations, nearest resizes, CAM concat points, contextual
+  attention (batched einsum vs the reference per-sample loop,
+  inpaint_networks.py:327), height heads, clamps and sigmoids.
+
+Skipped when torch or /root/reference is unavailable.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")), reason="reference checkout not present"
+)
+
+
+def _load_reference_inpaint_networks():
+    """Import the reference inpaint_networks module without executing the
+    reference package __init__ (which drags in its full training stack) and
+    with torchvision stubbed out (not installed in this image; the module
+    imports it at top level but the forward path never touches it)."""
+    import importlib.util
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.utils = types.ModuleType("torchvision.utils")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+        sys.modules["torchvision.utils"] = tv.utils
+
+    pkg = types.ModuleType("_refmodels")
+    pkg.__path__ = [os.path.join(REF, "models")]
+    sys.modules["_refmodels"] = pkg
+    for name in ("inpaint_tools", "inpaint_networks"):
+        spec = importlib.util.spec_from_file_location(
+            f"_refmodels.{name}", os.path.join(REF, "models", f"{name}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"_refmodels.{name}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["_refmodels.inpaint_networks"]
+
+
+def _converge_spectral_norm(model, iters=200):
+    """Run torch's own power iteration to convergence on every SN'd conv.
+
+    torch's eval-mode spectral norm uses the *stored* (u, v) pair; our SNConv
+    stores only u and recomputes v = normalize(W^T u). The two sigmas agree
+    exactly when u has converged to the leading singular vector, so converge
+    the buffers before snapshotting the state dict.
+    """
+    import torch.nn.functional as F
+
+    with torch.no_grad():
+        for mod in model.modules():
+            if hasattr(mod, "weight_orig"):
+                w = mod.weight_orig.detach().reshape(mod.weight_orig.shape[0], -1)
+                u = mod.weight_u.detach()
+                for _ in range(iters):
+                    v = F.normalize(torch.mv(w.t(), u), dim=0, eps=1e-12)
+                    u = F.normalize(torch.mv(w, v), dim=0, eps=1e-12)
+                mod.weight_u.copy_(u)
+                mod.weight_v.copy_(v)
+
+
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    """Reference torch generator outputs + our flax generator outputs on the
+    same batch, with weights flowing reference -> .pth -> our reader."""
+    import jax
+    import jax.numpy as jnp
+
+    from healthivert_tpu.models.generator import Generator
+    from healthivert_tpu.utils.pth import load_generator_pth
+
+    nets = _load_reference_inpaint_networks()
+
+    cnum, b, h = 8, 2, 256
+    torch.manual_seed(0)
+    ref_g = nets.Generator({"input_dim": 1, "ngf": cnum}, use_cuda=False)
+    _converge_spectral_norm(ref_g)
+    ref_g.eval()
+
+    # synthetic but structured inputs: a 40-row hole band in smooth context
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((b, 1, h // 8, h // 8)).astype(np.float32)
+    ct = torch.nn.functional.interpolate(
+        torch.from_numpy(base), scale_factor=8, mode="bilinear", align_corners=False
+    ).clamp(-1, 1)
+    mask = torch.zeros((b, 1, h, h))
+    mask[:, :, 100:140, :] = 1.0
+    x = ct * (1 - mask)
+    cam = torch.from_numpy(rng.random((b, 1, h, h)).astype(np.float32))
+    ratio = torch.from_numpy(rng.random((b,)).astype(np.float32))
+
+    with torch.no_grad():
+        coarse_seg, fine_seg, x_stage1, x_stage2, _flow, p1, p2 = ref_g(x, mask, cam, ratio)
+    ref_out = {
+        "coarse_seg": coarse_seg.numpy(),
+        "fine_seg": fine_seg.numpy(),
+        "x_stage1": x_stage1.numpy(),
+        "x_stage2": x_stage2.numpy(),
+        "pred1_h": p1.numpy().reshape(-1),
+        "pred2_h": p2.numpy().reshape(-1),
+    }
+
+    pth = str(tmp_path_factory.mktemp("oracle") / "net_G.pth")
+    torch.save(ref_g.state_dict(), pth)
+
+    gen = Generator(cnum=cnum)
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    mj = jnp.asarray(np.transpose(mask.numpy(), (0, 2, 3, 1)))
+    cj = jnp.asarray(np.transpose(cam.numpy(), (0, 2, 3, 1)))
+    rj = jnp.asarray(ratio.numpy())
+    variables = gen.init(jax.random.PRNGKey(0), xj, mj, cj, rj)
+    params, sn, n_loaded = load_generator_pth(pth, variables["params"], variables["sn"])
+    out = gen.apply({"params": params, "sn": sn}, xj, mj, cj, rj)
+    ours = {
+        "coarse_seg": np.transpose(np.asarray(out.coarse_seg), (0, 3, 1, 2)),
+        "fine_seg": np.transpose(np.asarray(out.fine_seg), (0, 3, 1, 2)),
+        "x_stage1": np.transpose(np.asarray(out.x_stage1), (0, 3, 1, 2)),
+        "x_stage2": np.transpose(np.asarray(out.x_stage2), (0, 3, 1, 2)),
+        "pred1_h": np.asarray(out.pred1_h),
+        "pred2_h": np.asarray(out.pred2_h),
+    }
+    return ref_out, ours, n_loaded
+
+
+def test_state_dict_fully_consumed(oracle):
+    _, _, n_loaded = oracle
+    # every weight_orig/bias/weight_u in the reference generator maps in:
+    # 96 conv kernel+bias pairs, 2 fc pairs, 48 SN u vectors region
+    assert n_loaded > 140
+
+
+@pytest.mark.parametrize(
+    "key,atol",
+    [
+        # measured max abs err is ~6e-7 (pure f32 rounding) on every output
+        ("x_stage1", 1e-5),
+        ("coarse_seg", 1e-5),
+        ("pred1_h", 1e-5),
+        ("x_stage2", 1e-5),
+        ("fine_seg", 1e-5),
+        ("pred2_h", 1e-5),
+    ],
+)
+def test_forward_parity_vs_reference_torch(oracle, key, atol):
+    ref_out, ours, _ = oracle
+    np.testing.assert_allclose(ours[key], ref_out[key], atol=atol, err_msg=key)
