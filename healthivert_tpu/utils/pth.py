@@ -273,6 +273,67 @@ def map_generator_state(state: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
     return params, sn
 
 
+def map_discriminator_state(
+    state: Dict[str, np.ndarray], n_layers: int = 3
+) -> Tuple[dict, dict]:
+    """Map a reference NLayerDiscriminator state dict to (params, batch_stats).
+
+    The reference D (networks.py:555-602) is an nn.Sequential named ``model``
+    with positional indices: conv0 at model.0, then for n in 1..n_layers a
+    (conv, norm, LeakyReLU) triple starting at model.{2+(n-1)*3}, and the
+    1-channel output conv at model.{2+n_layers*3}. This repo's
+    NLayerDiscriminator names them conv0/conv{n}/norm{n}/conv_out
+    (discriminator.py:28-75). PixelDiscriminator (n_layers=1 layout: model.0,
+    model.2, model.3 norm, model.5) is not covered here — its reference
+    variant is never built by the pix2pix path.
+    """
+    idx_to_name = {0: "conv0", 2 + n_layers * 3: "conv_out"}
+    idx_to_norm = {}
+    for n in range(1, n_layers + 1):
+        base = 2 + (n - 1) * 3
+        idx_to_name[base] = f"conv{n}"
+        idx_to_norm[base + 1] = f"norm{n}"
+
+    params: dict = {}
+    stats: dict = {}
+    for key, arr in state.items():
+        parts = key.split(".")
+        if parts[0] != "model" or len(parts) != 3:
+            continue
+        idx, leaf = int(parts[1]), parts[2]
+        a = np.asarray(arr, np.float32)
+        if idx in idx_to_name:
+            name = idx_to_name[idx]
+            if leaf == "weight":  # conv OIHW -> HWIO
+                params.setdefault(name, {})["kernel"] = np.transpose(a, (2, 3, 1, 0))
+            elif leaf == "bias":
+                params.setdefault(name, {})["bias"] = a
+        elif idx in idx_to_norm:
+            name = idx_to_norm[idx]
+            if leaf == "weight":
+                params.setdefault(name, {})["scale"] = a
+            elif leaf == "bias":
+                params.setdefault(name, {})["bias"] = a
+            elif leaf == "running_mean":
+                stats.setdefault(name, {})["mean"] = a
+            elif leaf == "running_var":
+                stats.setdefault(name, {})["var"] = a
+            # num_batches_tracked has no flax counterpart
+        else:
+            raise KeyError(f"unexpected discriminator key {key}")
+    return params, stats
+
+
+def load_discriminator_pth(path: str, params, batch_stats, n_layers: int = 3):
+    """Read a reference ``*_net_D_k.pth`` and overlay it onto an initialized
+    (params, batch_stats) pair. Returns (params, batch_stats, n_loaded)."""
+    state = read_pth(path)
+    p_new, s_new = map_discriminator_state(state, n_layers=n_layers)
+    params, n1 = _merge_validated(params, p_new)
+    batch_stats, n2 = _merge_validated(batch_stats, s_new)
+    return params, batch_stats, n1 + n2
+
+
 def _merge_validated(dst, src, path=""):
     """Overlay src onto dst; every src leaf must exist in dst with the same
     shape. Returns (merged, loaded_leaf_count)."""

@@ -18,70 +18,28 @@ input. This validates in one shot:
 Skipped when torch or /root/reference is unavailable.
 """
 
-import os
-import sys
-import types
-
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
 
-REF = "/root/reference"
+from ref_loader import (  # noqa: E402
+    converge_spectral_norm,
+    load_reference_models,
+    reference_available,
+)
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF, "models")), reason="reference checkout not present"
+    not reference_available(), reason="reference checkout not present"
 )
 
 
 def _load_reference_inpaint_networks():
-    """Import the reference inpaint_networks module without executing the
-    reference package __init__ (which drags in its full training stack) and
-    with torchvision stubbed out (not installed in this image; the module
-    imports it at top level but the forward path never touches it)."""
-    import importlib.util
-
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.transforms = types.ModuleType("torchvision.transforms")
-        tv.utils = types.ModuleType("torchvision.utils")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tv.transforms
-        sys.modules["torchvision.utils"] = tv.utils
-
-    pkg = types.ModuleType("_refmodels")
-    pkg.__path__ = [os.path.join(REF, "models")]
-    sys.modules["_refmodels"] = pkg
-    for name in ("inpaint_tools", "inpaint_networks"):
-        spec = importlib.util.spec_from_file_location(
-            f"_refmodels.{name}", os.path.join(REF, "models", f"{name}.py")
-        )
-        mod = importlib.util.module_from_spec(spec)
-        sys.modules[f"_refmodels.{name}"] = mod
-        spec.loader.exec_module(mod)
-    return sys.modules["_refmodels.inpaint_networks"]
+    return load_reference_models("inpaint_tools", "inpaint_networks")[1]
 
 
 def _converge_spectral_norm(model, iters=200):
-    """Run torch's own power iteration to convergence on every SN'd conv.
-
-    torch's eval-mode spectral norm uses the *stored* (u, v) pair; our SNConv
-    stores only u and recomputes v = normalize(W^T u). The two sigmas agree
-    exactly when u has converged to the leading singular vector, so converge
-    the buffers before snapshotting the state dict.
-    """
-    import torch.nn.functional as F
-
-    with torch.no_grad():
-        for mod in model.modules():
-            if hasattr(mod, "weight_orig"):
-                w = mod.weight_orig.detach().reshape(mod.weight_orig.shape[0], -1)
-                u = mod.weight_u.detach()
-                for _ in range(iters):
-                    v = F.normalize(torch.mv(w.t(), u), dim=0, eps=1e-12)
-                    u = F.normalize(torch.mv(w, v), dim=0, eps=1e-12)
-                mod.weight_u.copy_(u)
-                mod.weight_v.copy_(v)
+    converge_spectral_norm(torch, model, iters=iters)
 
 
 @pytest.fixture(scope="module")
