@@ -54,7 +54,9 @@ def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--load_iter", type=int, default=0)
     parser.add_argument("--load_pth", type=str, default=None,
                         help="path to a reference torch .pth generator state dict "
-                             "to ingest (no torch needed; utils/pth.py)")
+                             "to ingest (no torch needed; utils/pth.py). During "
+                             "training, sibling *_net_D_{1,2,3}.pth files are "
+                             "loaded too when present (load_networks parity)")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--suffix", default="", type=str)
     parser.add_argument("--use_wandb", action="store_true")

@@ -70,3 +70,30 @@ def restore_generator_pth(state, pth_path: str):
     params, sn, n = load_generator_pth(pth_path, state.g_params, state.g_sn)
     print(f"loaded {n} generator tensors from {pth_path}")
     return state.replace(g_params=params, g_sn=sn)
+
+
+def restore_full_pth(state, g_pth_path: str, n_layers_d: int = 3):
+    """Reference-checkpoint training resume: load `{epoch}_net_G.pth` plus
+    any sibling `{epoch}_net_D_{1,2,3}.pth` discriminator checkpoints
+    (load_networks semantics, /root/reference/models/base_model.py:189-212,
+    which loads every net in model_names = ['G','D_1','D_2','D_3'] when
+    training). Missing D files are skipped with a notice — the reference
+    only ships/needs G for inference."""
+    import os
+
+    from healthivert_tpu.utils.pth import load_discriminator_pth
+
+    state = restore_generator_pth(state, g_pth_path)
+    if "_net_G" not in os.path.basename(g_pth_path):
+        return state
+    for i in (1, 2, 3):
+        d_path = g_pth_path.replace("_net_G", f"_net_D_{i}")
+        if not os.path.exists(d_path):
+            print(f"no discriminator checkpoint {d_path}; keeping initialized D_{i}")
+            continue
+        params = getattr(state, f"d{i}_params")
+        stats = getattr(state, f"d{i}_stats")
+        params, stats, n = load_discriminator_pth(d_path, params, stats, n_layers=n_layers_d)
+        print(f"loaded {n} discriminator tensors from {d_path}")
+        state = state.replace(**{f"d{i}_params": params, f"d{i}_stats": stats})
+    return state

@@ -70,7 +70,12 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         gan_mode=opt.gan_mode,
         image_size=opt.crop_size,
         compute_dtype=getattr(opt, "compute_dtype", "float32"),
-        pallas_attention=jax.default_backend() == "tpu",
+        # MEASURED (v5e, bs16 bf16, experiments/bwd_prof.py): for TRAINING the
+        # XLA attention formulation is faster end-to-end (fwd+bwd 10.7 ms vs
+        # 13.0 ms for pallas-fwd + analytic backward — the backward recomputes
+        # what XLA would have stashed). The pallas kernel wins forward-only
+        # (4.0 vs 6.5 ms) and stays the inference default (bench.py, infer3d).
+        pallas_attention=False,
     )
     mesh = make_mesh(opt.mesh)
     n_data = mesh.shape.get("data", 1)
@@ -95,7 +100,11 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
 
     state = init_state(jax.random.PRNGKey(opt.seed), cfg)
     if getattr(opt, "load_pth", None):
-        state = ckpt.restore_generator_pth(state, opt.load_pth)
+        # training resume loads G + sibling D_1..3 files when present
+        # (load_networks parity, base_model.py:189-212)
+        state = ckpt.restore_full_pth(
+            state, opt.load_pth, n_layers_d=getattr(opt, "n_layers_D", 3)
+        )
     if opt.continue_train and ckpt.latest_exists(run_dir, opt.epoch):
         state = ckpt.restore_checkpoint(state, run_dir, opt.epoch)
         print(f"resumed from {run_dir}/{opt.epoch} at step {int(state.step)}")

@@ -185,3 +185,43 @@ def test_loss_parity_vs_reference_torch(losses_pair, name):
     assert our_losses[name] == pytest.approx(ref_losses[name], rel=2e-3, abs=2e-4), (
         f"{name}: ours={our_losses[name]} ref={ref_losses[name]}"
     )
+
+
+def test_restore_full_pth_loads_g_and_ds(tmp_path):
+    """restore_full_pth picks up {epoch}_net_G.pth plus sibling D files
+    (load_networks parity, base_model.py:189-212)."""
+    neutralize_cuda(torch)
+    networks = load_reference_models("networks")
+
+    from healthivert_tpu.engine.checkpoint import restore_full_pth
+    from healthivert_tpu.models.pix2pix import Pix2PixConfig, init_state
+
+    cfg = Pix2PixConfig(ngf=4, ndf=8, image_size=64)
+    state = init_state(jax.random.PRNGKey(0), cfg)
+
+    torch.manual_seed(3)
+    # G in reference layout via the inverse-mapping helper used elsewhere
+    from test_pth_loader import _tree_to_torch_sd
+
+    rng = np.random.default_rng(3)
+    params_rand = jax.tree_util.tree_map(
+        lambda a: rng.standard_normal(a.shape).astype(np.float32), state.g_params
+    )
+    torch.save(
+        _tree_to_torch_sd(params_rand, state.g_sn), str(tmp_path / "latest_net_G.pth")
+    )
+    # two real reference discriminators; D_2 file intentionally missing
+    for i in (1, 3):
+        d = networks.define_D(1, cfg.ndf, "basic", 3, "batch", "normal", 0.02, [])
+        torch.save(d.state_dict(), str(tmp_path / f"latest_net_D_{i}.pth"))
+
+    state2 = restore_full_pth(state, str(tmp_path / "latest_net_G.pth"))
+    for i, changed in [(1, True), (2, False), (3, True)]:
+        before = jax.tree_util.tree_leaves(getattr(state, f"d{i}_params"))
+        after = jax.tree_util.tree_leaves(getattr(state2, f"d{i}_params"))
+        same = all(np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after))
+        assert same != changed, f"D_{i}"
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state2.g_params)[0]),
+        jax.tree_util.tree_leaves(params_rand)[0],
+    )
