@@ -92,9 +92,10 @@ def main():
     try:
         from healthivert_tpu.models.pix2pix import train_step
 
-        # XLA attention for training: measured faster than pallas-fwd +
-        # analytic-bwd at training shapes (experiments/bwd_prof.py)
-        tcfg = Pix2PixConfig(ngf=16, image_size=256, compute_dtype="bfloat16")
+        tcfg = Pix2PixConfig(
+            ngf=16, image_size=256, compute_dtype="bfloat16",
+            pallas_attention=jax.default_backend() == "tpu",
+        )
         tstate = init_state(jax.random.PRNGKey(0), tcfg, batch_size=16)
         tds = SyntheticDataset(batch_size=16, seed=1, n_volumes=2)
         tbatch = {k: jnp.asarray(v) for k, v in tds.sample_batch().items()}

@@ -70,12 +70,11 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         gan_mode=opt.gan_mode,
         image_size=opt.crop_size,
         compute_dtype=getattr(opt, "compute_dtype", "float32"),
-        # MEASURED (v5e, bs16 bf16, experiments/bwd_prof.py): for TRAINING the
-        # XLA attention formulation is faster end-to-end (fwd+bwd 10.7 ms vs
-        # 13.0 ms for pallas-fwd + analytic backward — the backward recomputes
-        # what XLA would have stashed). The pallas kernel wins forward-only
-        # (4.0 vs 6.5 ms) and stays the inference default (bench.py, infer3d).
-        pallas_attention=False,
+        # MEASURED (v5e bf16, experiments/bwd_prof.py): with the kernel
+        # emitting its s/probs/nrm VMEM intermediates as residuals, the
+        # pallas path wins training at every batch size (fwd+bwd 10.5 vs
+        # 10.7 ms @bs16, 33.9 vs 44.4 @bs64 against the XLA formulation).
+        pallas_attention=jax.default_backend() == "tpu",
     )
     mesh = make_mesh(opt.mesh)
     n_data = mesh.shape.get("data", 1)

@@ -258,9 +258,17 @@ def _shift2d(v, sy, sx):
     return v
 
 
-def _attention_v2_kernel(hd, wd, scale, r_tile, interpret,
+def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res,
                          fd_hbm, bd_hbm, bph_hbm, mm_ref, out_hbm,
-                         fd_s, bd_s, bph_s, s_ref, b_ref, acc_s, sems):
+                         *rest):
+    if emit_res:
+        # training variant: also emit s (post-norm pre-fuse scores), the
+        # gated softmax probs, and the raw patch norms — the custom-VJP
+        # backward consumes them instead of recomputing (bwd_stage_prof.py:
+        # the score einsum + fuse + softmax recompute cost ~17 ms at B=64)
+        s_out, p_out, n_out = rest[:3]
+        rest = rest[3:]
+    fd_s, bd_s, bph_s, s_ref, b_ref, acc_s, sems = rest
     b = pl.program_id(0)
     num_l = hd * wd
     nt = num_l // r_tile
@@ -290,8 +298,12 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret,
             )
             nrm2 = nrm2 + _shift2d(bd2, dy - 1, dx - 1)
     # per-l patch-norm row scale (v1's wnorm = w / max(||w||, 1e-4))
-    nrm = jnp.maximum(jnp.sqrt(nrm2.reshape(num_l, 1)), 1e-4)
+    nrm_raw = jnp.sqrt(nrm2.reshape(num_l, 1))
+    nrm = jnp.maximum(nrm_raw, 1e-4)
     s_ref[:] = s_acc / nrm
+    if emit_res:
+        s_out[0] = s_ref[:]
+        n_out[0] = nrm_raw
 
     # --- fuse1 (diagonal +-1) ---
     for t in range(nt):
@@ -359,6 +371,8 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret,
         s_ref[r0 : r0 + r_tile, :] = (
             s_ref[r0 : r0 + r_tile, :] * inv * g_rows[r0 : r0 + r_tile]
         )
+    if emit_res:
+        p_out[0] = s_ref[:]
 
     # --- paste into 2x2 output phases; phase planes DMA'd out one by one ---
     cp_p.wait()
@@ -386,7 +400,9 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret,
             cp_o.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("hd", "wd", "scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("hd", "wd", "scale", "interpret", "emit_residuals")
+)
 def attention_v2(
     fd: jnp.ndarray,  # (B, hd, wd, C) downscaled foreground features
     bd: jnp.ndarray,  # (B, hd, wd, C) downscaled background features
@@ -396,8 +412,10 @@ def attention_v2(
     wd: int,
     scale: float = 10.0,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Returns the pasted attention output y (B, 2hd, 2wd, C)."""
+    emit_residuals: bool = False,
+):
+    """Returns the pasted attention output y (B, 2hd, 2wd, C); with
+    emit_residuals also (s, probs, nrm_raw) for the custom-VJP backward."""
     bs, _, _, c_in = fd.shape
     num_l = hd * wd
     r_tile = 128 if num_l % 128 == 0 else num_l
@@ -411,17 +429,34 @@ def attention_v2(
     c = c_in + c_pad
     # 2x2 phase split of the full-res background: phases[r, s][i, j] = b[2i+r, 2j+s]
     bph = b_full.reshape(bs, hd, 2, wd, 2, c).transpose(0, 2, 4, 1, 3, 5)
-    kernel = functools.partial(_attention_v2_kernel, hd, wd, scale, r_tile, interpret)
+    kernel = functools.partial(
+        _attention_v2_kernel, hd, wd, scale, r_tile, interpret, emit_residuals
+    )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((bs, 2, 2, hd, wd, c), fd.dtype)]
+    out_specs = [any_spec]
+    if emit_residuals:
+        big = pl.BlockSpec(
+            (1, num_l, num_l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape += [
+            jax.ShapeDtypeStruct((bs, num_l, num_l), jnp.float32),  # s
+            jax.ShapeDtypeStruct((bs, num_l, num_l), jnp.float32),  # probs
+            jax.ShapeDtypeStruct((bs, num_l, 1), jnp.float32),  # nrm_raw
+        ]
+        out_specs += [
+            big, big,
+            pl.BlockSpec((1, num_l, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=(bs,),
         in_specs=[
             any_spec, any_spec, any_spec,
             pl.BlockSpec((1, num_l, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=any_spec,
-        out_shape=jax.ShapeDtypeStruct((bs, 2, 2, hd, wd, c), fd.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((hd, wd, c), fd.dtype),
             pltpu.VMEM((hd, wd, c), bd.dtype),
@@ -436,9 +471,13 @@ def attention_v2(
             has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(fd, bd, bph, mm[..., None].astype(jnp.float32))
+    out = outs[0]
     # interleave phases: y[2i+r, 2j+s] = out[r, s, i, j]
     y = out.transpose(0, 3, 1, 4, 2, 5).reshape(bs, 2 * hd, 2 * wd, c)
-    return y[..., :c_in]
+    y = y[..., :c_in]
+    if emit_residuals:
+        return y, outs[1], outs[2], outs[3]
+    return y
 
 
 # --------------------------------------------------------------------------
@@ -493,38 +532,41 @@ def attention_v2_diff(fd, bd, b_full, mm, hd, wd, scale):
 
 
 def _att_fwd(fd, bd, b_full, mm, hd, wd, scale):
-    y = attention_v2(fd, bd, b_full, mm, hd, wd, scale)
-    return y, (fd, bd, b_full, mm)
+    y, s, probs, nrm_raw = attention_v2(
+        fd, bd, b_full, mm, hd, wd, scale, emit_residuals=True
+    )
+    return y, (fd, bd, b_full, mm, s, probs, nrm_raw)
 
 
 def _att_bwd(hd, wd, scale, res, dy):
     from .contextual_attention import extract_patches
 
-    fd, bd, b_full, mm = res
+    fd, bd, b_full, mm, s, probs, nrm_raw = res
     bs, _, _, c = fd.shape
     num_l = hd * wd
     f32 = jnp.float32
-    fdf, bdf, bff = fd.astype(f32), bd.astype(f32), b_full.astype(f32)
-    dyf = dy.astype(f32)
+    # Matmul operands stay in the INPUT dtype (bf16 in training) so the MXU
+    # runs its native bf16 x bf16 -> f32 mode. s / probs / nrm_raw are the
+    # forward kernel's own VMEM intermediates written out as residuals —
+    # recomputing them here (patch einsum + fuse sweeps + softmax) measured
+    # ~17 ms at batch 64 (experiments/bwd_stage_prof.py).
+    mt = fd.dtype
 
-    # recompute light intermediates (patch tensors + scores + probs)
-    fpat = _patches_l(fdf, 3)  # (B, L, 9C)
-    wpat = _patches_l(bdf, 3)
-    nrm_raw = jnp.sqrt(jnp.sum(wpat * wpat, axis=-1, keepdims=True))  # (B, L, 1)
+    fpat = _patches_l(fd, 3)  # (B, L, 9C) in mt
+    wpat = _patches_l(bd, 3)
+    wpat32 = wpat.astype(f32)
     nrm = jnp.maximum(nrm_raw, 1e-4)
-    s0 = jnp.einsum("bpk,blk->blp", fpat, wpat, preferred_element_type=f32)
-    s = s0 / nrm
-    fuse_fwd, fuse_adj = _fuse_ops(wd)
-    fused = fuse_fwd(s)
+    _, fuse_adj = _fuse_ops(wd)
     g = mm.astype(f32)[:, :, None]  # (B, L, 1)
-    probs = jax.nn.softmax(fused * g * scale, axis=1) * g  # (B, L, P)
 
-    raw = extract_patches(bff, 4, 2).reshape(bs, num_l, -1)  # (B, L, 16C)
+    raw = extract_patches(b_full, 4, 2).reshape(bs, num_l, -1)  # (B, L, 16C) mt
 
     # paste/fold adjoints
-    dv = extract_patches(dyf, 4, 2).reshape(bs, num_l, -1) / 4.0  # (B, P, 16C)
+    dv = (extract_patches(dy, 4, 2).reshape(bs, num_l, -1) / 4.0).astype(mt)
     dprobs = jnp.einsum("blr,bpr->blp", raw, dv, preferred_element_type=f32)
-    draw = jnp.einsum("blp,bpr->blr", probs, dv, preferred_element_type=f32)
+    draw = jnp.einsum(
+        "blp,bpr->blr", probs.astype(mt), dv, preferred_element_type=f32
+    )
     from .contextual_attention import _fold_overlap_add
 
     db_full = _fold_overlap_add(
@@ -538,10 +580,10 @@ def _att_bwd(hd, wd, scale, res, dy):
     ds = fuse_adj(dfused)
 
     # norm backward
-    ds0 = ds / nrm
+    ds0 = (ds / nrm).astype(mt)
     dn = -jnp.sum(ds * s, axis=2, keepdims=True) / nrm  # (B, L, 1)
     dnrm2 = jnp.where(nrm_raw > 1e-4, dn * 0.5 / jnp.maximum(nrm_raw, 1e-12), 0.0)
-    dwpat_n = 2.0 * wpat * dnrm2
+    dwpat_n = 2.0 * wpat32 * dnrm2
 
     # score matmul backward
     dfpat = jnp.einsum("blp,blk->bpk", ds0, wpat, preferred_element_type=f32)
