@@ -561,27 +561,36 @@ def _att_bwd(hd, wd, scale, res, dy):
 
     raw = extract_patches(b_full, 4, 2).reshape(bs, num_l, -1)  # (B, L, 16C) mt
 
-    # paste/fold adjoints
+    # paste/fold adjoints. The (B, L, P) chain dprobs -> dq -> dz -> dfused ->
+    # ds stays in mt: at bf16 that halves the HBM traffic of the elementwise
+    # fuse/softmax-backward sweeps (the backward's cost is bandwidth, not
+    # flops — bwd_stage_prof.py); reductions accumulate in f32 via einsum.
+    probs_mt = probs.astype(mt)
     dv = (extract_patches(dy, 4, 2).reshape(bs, num_l, -1) / 4.0).astype(mt)
-    dprobs = jnp.einsum("blr,bpr->blp", raw, dv, preferred_element_type=f32)
-    draw = jnp.einsum(
-        "blp,bpr->blr", probs.astype(mt), dv, preferred_element_type=f32
-    )
+    dprobs = jnp.einsum("blr,bpr->blp", raw, dv, preferred_element_type=mt)
+    draw = jnp.einsum("blp,bpr->blr", probs_mt, dv, preferred_element_type=f32)
     from .contextual_attention import _fold_overlap_add
 
     db_full = _fold_overlap_add(
         draw.reshape(bs, hd, wd, 4, 4, c), 2 * hd, 2 * wd, 2, 4
     ) * 4.0
 
-    # softmax (+gate) backward
-    dq = dprobs * g
-    dz = probs * (dq - jnp.sum(probs * dq, axis=1, keepdims=True))
-    dfused = dz * g * scale
-    ds = fuse_adj(dfused)
+    # softmax (+gate) backward (softmax is over axis=1, the l rows)
+    g_mt = g.astype(mt)
+    dq = dprobs * g_mt
+    colsum = jnp.einsum("blp,blp->bp", probs_mt, dq, preferred_element_type=f32)
+    dz = probs_mt * (dq - colsum[:, None, :].astype(mt))
+    dfused = dz * g_mt * jnp.asarray(scale, mt)
+    ds = fuse_adj(dfused)  # mt
 
     # norm backward
-    ds0 = (ds / nrm).astype(mt)
-    dn = -jnp.sum(ds * s, axis=2, keepdims=True) / nrm  # (B, L, 1)
+    ds0 = ds * (1.0 / nrm).astype(mt)
+    dn = (
+        -jnp.einsum("blp,blp->bl", ds, s.astype(mt), preferred_element_type=f32)[
+            ..., None
+        ]
+        / nrm
+    )  # (B, L, 1)
     dnrm2 = jnp.where(nrm_raw > 1e-4, dn * 0.5 / jnp.maximum(nrm_raw, 1e-12), 0.0)
     dwpat_n = 2.0 * wpat32 * dnrm2
 
