@@ -103,11 +103,13 @@ def main():
         tstate, losses = train_step(tstate, tbatch, lr, tcfg)  # compile
         float(losses["G_maskL1"])
         iters = 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            tstate, losses = train_step(tstate, tbatch, lr, tcfg)
-        float(losses["G_maskL1"])
-        train_sps = 16 * iters / (time.perf_counter() - t0)
+        train_sps = 0.0
+        for _rep in range(2):  # best-of-2: tunneled backend jitter
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                tstate, losses = train_step(tstate, tbatch, lr, tcfg)
+            float(losses["G_maskL1"])
+            train_sps = max(train_sps, 16 * iters / (time.perf_counter() - t0))
         print(f"# train step (batch 16, bf16): {train_sps:.1f} slices/sec", file=sys.stderr)
     except Exception as e:  # never lose the headline metric to an aux one
         print(f"# train bench failed: {e!r}", file=sys.stderr)
@@ -156,10 +158,11 @@ def main():
     # full iterative 3-pass synthesis of one vertebra + RHLV quantification.
     # Set BENCH_SPINE=0 to skip.
     spine_latency = None
+    spine_batched = None
     if os.environ.get("BENCH_SPINE", "1") != "0":
         try:
             from healthivert_tpu.data.synthetic import make_spine_volume
-            from healthivert_tpu.engine.infer3d import synthesize_volume
+            from healthivert_tpu.engine.infer3d import synthesize_volume, synthesize_volumes
             from healthivert_tpu.evaluation.rhlv import calculate_rhlv
 
             rng = np.random.default_rng(0)
@@ -179,6 +182,22 @@ def main():
                 best_dt = min(best_dt, time.perf_counter() - t0)
             spine_latency = best_dt
             print(f"# per-vertebra end-to-end RHLV latency: {best_dt:.2f} s", file=sys.stderr)
+
+            # cross-vertebra batched synthesis (eval_3d --spine_batch):
+            # 3 vertebrae share the three passes' dispatches
+            vols = [(ct, labels, v, cam_v) for v in (19, 20, 21)]
+            synthesize_volumes(state.g_params, state.g_sn, cfg, vols)  # compile
+            best3 = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                synthesize_volumes(state.g_params, state.g_sn, cfg, vols)
+                best3 = min(best3, time.perf_counter() - t0)
+            spine_batched = best3
+            print(
+                f"# 3-vertebra batched synthesis: {best3:.2f} s "
+                f"({best3 / 3:.2f} s/vertebra)",
+                file=sys.stderr,
+            )
         except Exception as e:
             print(f"# spine latency bench failed: {e!r}"[:200], file=sys.stderr)
 
@@ -213,6 +232,9 @@ def main():
         record["attn_grad_parity"] = grad_parity
     if spine_latency is not None:
         record["per_vertebra_rhlv_latency_s"] = round(spine_latency, 2)
+    if spine_batched is not None:
+        record["batched_3vert_synthesis_s"] = round(spine_batched, 2)
+        record["batched_per_vertebra_s"] = round(spine_batched / 3, 2)
     print(json.dumps(record))
 
 

@@ -22,7 +22,7 @@ import numpy as np
 from healthivert_tpu.config.options import TestOptions
 from healthivert_tpu.data.aligned import find_cam_path
 from healthivert_tpu.engine import checkpoint as ckpt
-from healthivert_tpu.engine.infer3d import synthesize_volume
+from healthivert_tpu.engine.infer3d import synthesize_volumes
 from healthivert_tpu.models.pix2pix import Pix2PixConfig, init_state
 from healthivert_tpu.utils import nifti
 
@@ -34,6 +34,10 @@ def main(argv=None):
     pre.add_argument("--axis", choices=["sagittal", "coronal"], default="sagittal")
     pre.add_argument("--slice_batch", type=int, default=64,
                      help="slices per device dispatch in each synthesis pass")
+    pre.add_argument("--spine_batch", type=int, default=1,
+                     help="1 (default): batch all of a patient's vertebrae "
+                          "through shared synthesis passes; 0: one vertebra "
+                          "per pass set (reference-style serial order)")
     ns, rest = pre.parse_known_args(argv)
     axis = 2 if ns.axis == "sagittal" else 1
     opt = TestOptions().parse(rest)
@@ -59,31 +63,47 @@ def main(argv=None):
     os.makedirs(out_lb, exist_ok=True)
 
     files = sorted(f for f in os.listdir(ct_dir) if f.endswith(".nii.gz"))
-    for i, fname in enumerate(files):
-        if os.path.exists(os.path.join(out_ct, fname)):
-            continue  # crude resumability, as the reference (:157)
+    files = [f for f in files if not os.path.exists(os.path.join(out_ct, f))]
+    # crude resumability, as the reference (:157), applied per file above
+
+    # group a patient's vertebrae so their three synthesis passes share
+    # device dispatches (--spine_batch 0 restores one-vertebra groups)
+    groups: dict = {}
+    for f in files:
+        patient = f[: -len(".nii.gz")].rsplit("_", 1)[0] if ns.spine_batch else f
+        groups.setdefault(patient, []).append(f)
+
+    done = 0
+    for patient, group in groups.items():
         t0 = time.time()
-        ct_img = nifti.load(os.path.join(ct_dir, fname))
-        lb_img = nifti.load(os.path.join(opt.dataroot, "label", fname))
-        pv = fname[: -len(".nii.gz")]
-        vert_id = int(pv.rsplit("_", 1)[1])
+        vols, imgs = [], []
+        for fname in group:
+            ct_img = nifti.load(os.path.join(ct_dir, fname))
+            lb_img = nifti.load(os.path.join(opt.dataroot, "label", fname))
+            pv = fname[: -len(".nii.gz")]
+            vert_id = int(pv.rsplit("_", 1)[1])
+            cam = None
+            if opt.cam_dir:
+                cp = find_cam_path(opt.cam_dir, pv)
+                if cp:
+                    cam = nifti.load(cp).get_fdata().astype(np.float32)
+            vols.append((ct_img.get_fdata(), lb_img.get_fdata(), vert_id, cam))
+            imgs.append(ct_img)
 
-        cam = None
-        if opt.cam_dir:
-            cp = find_cam_path(opt.cam_dir, pv)
-            if cp:
-                cam = nifti.load(cp).get_fdata().astype(np.float32)
-
-        ct_fake, lb_fake = synthesize_volume(
-            state.g_params, state.g_sn, cfg,
-            ct_img.get_fdata(), lb_img.get_fdata(), vert_id, cam,
+        results = synthesize_volumes(
+            state.g_params, state.g_sn, cfg, vols,
             batch_size=ns.slice_batch, axis=axis,
         )
-        nifti.save(nifti.Nifti1Image(ct_fake.astype(np.float32), ct_img.affine),
-                   os.path.join(out_ct, fname))
-        nifti.save(nifti.Nifti1Image(lb_fake.astype(np.float32), ct_img.affine),
-                   os.path.join(out_lb, fname))
-        print(f"[{i + 1}/{len(files)}] {fname} synthesized in {time.time() - t0:.1f}s")
+        for fname, ct_img, (ct_fake, lb_fake) in zip(group, imgs, results):
+            nifti.save(nifti.Nifti1Image(ct_fake.astype(np.float32), ct_img.affine),
+                       os.path.join(out_ct, fname))
+            nifti.save(nifti.Nifti1Image(lb_fake.astype(np.float32), ct_img.affine),
+                       os.path.join(out_lb, fname))
+        done += len(group)
+        print(
+            f"[{done}/{len(files)}] {patient}: {len(group)} vertebra(e) "
+            f"synthesized in {time.time() - t0:.1f}s"
+        )
 
 
 if __name__ == "__main__":

@@ -2,6 +2,8 @@
 """Per-segment timing of the two-stage generator forward at bench shapes
 (bf16, batch 64/256) on the real TPU: which segment holds the remaining time?"""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

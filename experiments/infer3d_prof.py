@@ -2,6 +2,8 @@
 """Phase-level timing of synthesize_volume on the real TPU: where do the
 9.3 s warm per-vertebra go? (host geometry vs device forward vs transfers)"""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

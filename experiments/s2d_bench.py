@@ -2,6 +2,8 @@
 """Measure dense vs space-to-depth execution of the generator's 256^2 conv
 segments on the real TPU (tunneled). Not part of the test suite."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -5,6 +5,8 @@ taps on the z part — the nearest-upsample redundancy merges w taps landing
 on the same source cell — plus standard s2d taps on the cam part).
 FLOP-reducing AND tile-friendly; validated for parity, then timed."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -195,6 +195,138 @@ def _run_pass(g_params, g_sn, cfg, jobs, ratios, cam_stack, job_zidx,
     return outs
 
 
+def _get_slice(vol, z, axis):
+    return vol[:, :, z] if axis == 2 else vol[:, z, :]
+
+
+def _cam_bucket(n: int) -> int:
+    """Pad the device CAM stack's row count to a small set of bucket sizes so
+    patients with different total slice counts share _forward compilations.
+    16/32/64 for single-vertebra calls, then 64-multiples (the padding is
+    uploaded through the ~10 MB/s tunnel, so power-of-2 buckets measurably
+    hurt multi-vertebra calls)."""
+    if n <= 64:
+        return max(16, -(-n // 16) * 16)
+    return -(-n // 64) * 64
+
+
+def synthesize_volumes(
+    g_params,
+    g_sn,
+    cfg: Pix2PixConfig,
+    volumes,
+    batch_size: int = 32,
+    use_bf16: bool = True,
+    axis: int = 2,
+):
+    """Batched multi-vertebra synthesis: the three passes are shared across
+    ALL volumes (vertebrae are independent — SURVEY.md §3.2), so a whole
+    spine's worth of slices rides each device dispatch instead of 6 small
+    dispatches per vertebra (the tunneled chip's fixed per-dispatch cost
+    dominates per-vertebra latency; experiments/infer3d_prof.py).
+
+    volumes: sequence of (ct_vol, label_vol, vert_id, cam_vol-or-None), all
+    sharing the same slice shape along `axis`. Returns a list of
+    (ct_fake, label_fake) pairs in input order."""
+    preps = []
+    all_cams = []
+    row_off = 0
+    for ct_vol, label_vol, vert_id, cam_vol in volumes:
+        cam_vol = cam_vol if cam_vol is not None else np.zeros_like(ct_vol, np.float32)
+        vert = label_vol == vert_id
+        other_axes = (0, 1) if axis == 2 else (0, 2)
+        zs = np.nonzero(vert.any(axis=other_axes))[0]
+        if zs.size == 0:
+            preps.append(None)
+            continue
+        z0, z1 = int(zs.min()), int(zs.max())
+        range_length = z1 - z0 + 1
+        new_len = int(range_length * 4 / 5)
+        nz0 = z0 + (range_length - new_len) // 2
+        nz1 = nz0 + new_len - 1
+        center = (nz0 + nz1) // 2
+        z_list = list(range(nz0, nz1 + 1))
+        preps.append(
+            dict(
+                vert_id=vert_id,
+                label_vol=label_vol,
+                shape=ct_vol.shape,
+                z_list=z_list,
+                ratios={z: abs(z - center) / range_length * 2 for z in z_list},
+                ct_state={z: _get_slice(ct_vol, z, axis).astype(np.float64) for z in z_list},
+                lb_state={z: _get_slice(label_vol, z, axis).astype(np.float64) for z in z_list},
+                stack_row={z: row_off + i for i, z in enumerate(z_list)},
+            )
+        )
+        # CAM never changes across passes: one device-resident u8 stack for
+        # ALL volumes; each pass gathers its slices by row index on device
+        all_cams.append(
+            np.stack([(_get_slice(cam_vol, z, axis) * 255).astype(np.uint8) for z in z_list])
+        )
+        row_off += len(z_list)
+
+    if row_off == 0:
+        return [
+            (np.zeros_like(v[0], np.float64), np.zeros_like(v[0], np.float64))
+            for v in volumes
+        ]
+    cams = np.concatenate(all_cams)
+    bucket = _cam_bucket(row_off)
+    cam_stack = jnp.asarray(np.pad(cams, ((0, bucket - row_off), (0, 0), (0, 0))))
+
+    # three passes: upper neighbor, lower neighbor, target — jobs from every
+    # volume share the dispatches
+    for which, nb in (("upper", -1), ("lower", +1), ("target", 0)):
+        jobs, job_refs, job_ratio, job_rows = [], [], [], []
+        for prep in preps:
+            if prep is None:
+                continue
+            vert_id, label_vol = prep["vert_id"], prep["label_vol"]
+            vid = vert_id + nb
+            for z in prep["z_list"]:
+                # both neighbor-presence checks read the ORIGINAL labels (:204,:213)
+                if which == "upper" and not (
+                    vert_id > 8 and np.sum(_get_slice(label_vol, z, axis) == vid) > 200
+                ):
+                    continue
+                if which == "lower" and not (
+                    vert_id < 24 and np.sum(_get_slice(label_vol, z, axis) == vid) > 200
+                ):
+                    continue
+                geo = _slice_geometry(prep["lb_state"][z], prep["ct_state"][z], vid)
+                if geo is None:
+                    continue
+                jobs.append(geo)
+                job_refs.append((prep, z, vid))
+                job_ratio.append(prep["ratios"][z])
+                job_rows.append(prep["stack_row"][z])
+        outs = _run_pass(
+            g_params, g_sn, cfg, jobs, job_ratio, cam_stack, job_rows,
+            batch_size, use_bf16,
+        )
+        for geo, (prep, z, vid), (x2_, seg, ph) in zip(jobs, job_refs, outs):
+            ct_new, lb_new, _ = _reassemble(
+                geo, x2_, seg, ph, prep["ct_state"][z], prep["lb_state"][z], vid
+            )
+            prep["ct_state"][z] = ct_new
+            prep["lb_state"][z] = lb_new
+
+    results = []
+    for (ct_vol, *_), prep in zip(volumes, preps):
+        ct_fake = np.zeros_like(ct_vol, np.float64)
+        lb_fake = np.zeros_like(ct_vol, np.float64)
+        if prep is not None:
+            for z in prep["z_list"]:
+                if axis == 2:
+                    ct_fake[:, :, z] = prep["ct_state"][z]
+                    lb_fake[:, :, z] = prep["lb_state"][z]
+                else:
+                    ct_fake[:, z, :] = prep["ct_state"][z]
+                    lb_fake[:, z, :] = prep["lb_state"][z]
+        results.append((ct_fake, lb_fake))
+    return results
+
+
 def synthesize_volume(
     g_params,
     g_sn,
@@ -213,73 +345,7 @@ def synthesize_volume(
     coronal slices (the 2.5D fusion's second view — the reference's coronal
     driver is not shipped; slices keep rows = the vertebra height axis).
     Returns (ct_fake, label_fake) volumes (zeros outside the processed range)."""
-
-    def sl(vol, z):
-        return vol[:, :, z] if axis == 2 else vol[:, z, :]
-
-    cam_vol = cam_vol if cam_vol is not None else np.zeros_like(ct_vol, np.float32)
-    vert = label_vol == vert_id
-    other_axes = (0, 1) if axis == 2 else (0, 2)
-    zs = np.nonzero(vert.any(axis=other_axes))[0]
-    if zs.size == 0:
-        return np.zeros_like(ct_vol), np.zeros_like(ct_vol)
-    z0, z1 = int(zs.min()), int(zs.max())
-    range_length = z1 - z0 + 1
-    new_len = int(range_length * 4 / 5)
-    nz0 = z0 + (range_length - new_len) // 2
-    nz1 = nz0 + new_len - 1
-    center = (nz0 + nz1) // 2
-    z_list = list(range(nz0, nz1 + 1))
-    ratios = {z: abs(z - center) / range_length * 2 for z in z_list}
-
-    # evolving per-slice state
-    ct_state = {z: sl(ct_vol, z).astype(np.float64) for z in z_list}
-    lb_state = {z: sl(label_vol, z).astype(np.float64) for z in z_list}
-
-    # CAM never changes across passes: upload the whole u8 stack ONCE and
-    # let each pass gather its slices by index on device. Padded to a
-    # 16-slice bucket so vertebrae of similar extent share one compilation.
-    cams = np.stack([(sl(cam_vol, z) * 255).astype(np.uint8) for z in z_list])
-    bucket = -(-len(z_list) // 16) * 16
-    cam_stack = jnp.asarray(
-        np.pad(cams, ((0, bucket - len(z_list)), (0, 0), (0, 0)))
-    )
-    stack_row = {z: i for i, z in enumerate(z_list)}
-
-    # three passes: upper neighbor, lower neighbor, target
-    for which, nb in (("upper", -1), ("lower", +1), ("target", 0)):
-        vid = vert_id + nb
-        jobs, job_z, job_ratio = [], [], []
-        for z in z_list:
-            if which == "upper" and not (vert_id > 8 and np.sum(sl(label_vol, z) == vid) > 200):
-                continue
-            # both neighbor-presence checks read the ORIGINAL labels (:204,:213)
-            if which == "lower" and not (vert_id < 24 and np.sum(sl(label_vol, z) == vid) > 200):
-                continue
-            geo = _slice_geometry(lb_state[z], ct_state[z], vid)
-            if geo is None:
-                continue
-            jobs.append(geo)
-            job_z.append(z)
-            job_ratio.append(ratios[z])
-        outs = _run_pass(
-            g_params, g_sn, cfg, jobs, job_ratio, cam_stack,
-            [stack_row[z] for z in job_z], batch_size, use_bf16,
-        )
-        for geo, z, (x2_, seg, ph) in zip(jobs, job_z, outs):
-            ct_new, lb_new, _ = _reassemble(
-                geo, x2_, seg, ph, ct_state[z], lb_state[z], vid
-            )
-            ct_state[z] = ct_new
-            lb_state[z] = lb_new
-
-    ct_fake = np.zeros_like(ct_vol, np.float64)
-    lb_fake = np.zeros_like(ct_vol, np.float64)
-    for z in z_list:
-        if axis == 2:
-            ct_fake[:, :, z] = ct_state[z]
-            lb_fake[:, :, z] = lb_state[z]
-        else:
-            ct_fake[:, z, :] = ct_state[z]
-            lb_fake[:, z, :] = lb_state[z]
-    return ct_fake, lb_fake
+    return synthesize_volumes(
+        g_params, g_sn, cfg, [(ct_vol, label_vol, vert_id, cam_vol)],
+        batch_size=batch_size, use_bf16=use_bf16, axis=axis,
+    )[0]

@@ -49,6 +49,30 @@ def test_synthesize_volume_shapes_and_content(rng):
     assert ct_fake[:, :, 0].max() == 0
 
 
+def test_synthesize_volumes_batched_matches_serial(rng):
+    """Cross-vertebra batching (synthesize_volumes) must produce exactly the
+    per-vertebra results: every op in the passes is per-sample, so sharing
+    dispatches cannot change outputs."""
+    from healthivert_tpu.engine.infer3d import synthesize_volumes
+
+    ct, labels, cam = make_spine_volume(
+        rng, shape=(64, 64, 16), vert_ids=(19, 20, 21), vert_height=12, gap=5,
+        fractured={20: 0.6},
+    )
+    state = init_state(jax.random.PRNGKey(0), CFG)
+    vols = [(ct, labels, 20, cam), (ct, labels, 21, None)]
+    batched = synthesize_volumes(
+        state.g_params, state.g_sn, CFG, vols, batch_size=8, use_bf16=False
+    )
+    for (cv, lv, vid, camv), (ct_b, lb_b) in zip(vols, batched):
+        ct_s, lb_s = synthesize_volume(
+            state.g_params, state.g_sn, CFG, cv, lv, vid, camv,
+            batch_size=8, use_bf16=False,
+        )
+        np.testing.assert_array_equal(ct_b, ct_s)
+        np.testing.assert_array_equal(lb_b, lb_s)
+
+
 def test_evaluate_model_metrics():
     ds = SyntheticDataset(
         batch_size=2, seed=0, size=4, shape=(64, 64, 16),
