@@ -94,9 +94,7 @@ def _make_batch():
     return torch_batch, our_batch
 
 
-@pytest.fixture(scope="module")
-def losses_pair(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("loss_oracle")
+def _oracle_losses(tmp, gan_mode, net_d, n_layers_d):
     neutralize_cuda(torch)
     pix2pix_model = load_reference_models(
         "inpaint_tools",
@@ -115,15 +113,15 @@ def losses_pair(tmp_path_factory):
         name="oracle",
         preprocess="none",
         direction="AtoB",
-        gan_mode="vanilla",
+        gan_mode=gan_mode,
         lr=0.0,  # Adam with lr=0 leaves every parameter untouched
         beta1=0.5,
         lambda_L1=200.0,
         input_nc=1,
         output_nc=1,
         ndf=16,
-        netD="basic",
-        n_layers_D=3,
+        netD=net_d,
+        n_layers_D=n_layers_d,
         norm="batch",
         init_type="normal",
         init_gain=0.02,
@@ -152,15 +150,26 @@ def losses_pair(tmp_path_factory):
     from healthivert_tpu.models.pix2pix import Pix2PixConfig, init_state, train_step
     from healthivert_tpu.utils.pth import load_discriminator_pth, load_generator_pth
 
-    cfg = Pix2PixConfig(ngf=16, ndf=16, image_size=S, gan_mode="vanilla")
+    cfg = Pix2PixConfig(
+        ngf=16, ndf=16, image_size=S, gan_mode=gan_mode,
+        net_d=net_d, n_layers_d=n_layers_d,
+    )
     state = init_state(jax.random.PRNGKey(0), cfg, batch_size=B)
     g_params, g_sn, _ = load_generator_pth(g_pth, state.g_params, state.g_sn)
-    d1p, d1s, n1 = load_discriminator_pth(d_pths[0], state.d1_params, state.d1_stats)
-    d2p, d2s, _ = load_discriminator_pth(d_pths[1], state.d2_params, state.d2_stats)
-    d3p, d3s, _ = load_discriminator_pth(d_pths[2], state.d3_params, state.d3_stats)
-    # conv0/conv_out w+b, conv1..3 w only (BN convs drop bias), 3 BN
-    # scale+bias pairs, 3 BN mean+var pairs
-    assert n1 == 4 + 3 + 6 + 6
+    eff_layers = 3 if net_d == "basic" else n_layers_d
+    d1p, d1s, n1 = load_discriminator_pth(
+        d_pths[0], state.d1_params, state.d1_stats, n_layers=eff_layers
+    )
+    d2p, d2s, _ = load_discriminator_pth(
+        d_pths[1], state.d2_params, state.d2_stats, n_layers=eff_layers
+    )
+    d3p, d3s, _ = load_discriminator_pth(
+        d_pths[2], state.d3_params, state.d3_stats, n_layers=eff_layers
+    )
+    if net_d == "basic":
+        # conv0/conv_out w+b, conv1..3 w only (BN convs drop bias), 3 BN
+        # scale+bias pairs, 3 BN mean+var pairs
+        assert n1 == 4 + 3 + 6 + 6
     state = state.replace(
         g_params=g_params, g_sn=g_sn,
         d1_params=d1p, d1_stats=d1s,
@@ -172,6 +181,23 @@ def losses_pair(tmp_path_factory):
     return ref_losses, our_losses
 
 
+@pytest.fixture(scope="module")
+def losses_pair(tmp_path_factory):
+    """Default config: gan_mode=vanilla, --netD basic (the pix2pix path)."""
+    return _oracle_losses(
+        tmp_path_factory.mktemp("loss_oracle"), "vanilla", "basic", 3
+    )
+
+
+@pytest.fixture(scope="module")
+def losses_pair_lsgan(tmp_path_factory):
+    """Alternate config: lsgan GAN loss + --netD n_layers 2 (define_D
+    dispatch + GANLoss MSE branch under the full objective)."""
+    return _oracle_losses(
+        tmp_path_factory.mktemp("loss_oracle_ls"), "lsgan", "n_layers", 2
+    )
+
+
 LOSS_NAMES = [
     "G_GAN", "G_maskL1", "G_Dice", "coarse_Dice", "edge",
     "D_real_1", "D_fake_1", "D_real_2", "D_fake_2", "D_real_3", "D_fake_3", "h",
@@ -181,6 +207,15 @@ LOSS_NAMES = [
 @pytest.mark.parametrize("name", LOSS_NAMES)
 def test_loss_parity_vs_reference_torch(losses_pair, name):
     ref_losses, our_losses = losses_pair
+    assert math.isfinite(ref_losses[name])
+    assert our_losses[name] == pytest.approx(ref_losses[name], rel=2e-3, abs=2e-4), (
+        f"{name}: ours={our_losses[name]} ref={ref_losses[name]}"
+    )
+
+
+@pytest.mark.parametrize("name", LOSS_NAMES)
+def test_loss_parity_lsgan_nlayers(losses_pair_lsgan, name):
+    ref_losses, our_losses = losses_pair_lsgan
     assert math.isfinite(ref_losses[name])
     assert our_losses[name] == pytest.approx(ref_losses[name], rel=2e-3, abs=2e-4), (
         f"{name}: ours={our_losses[name]} ref={ref_losses[name]}"
