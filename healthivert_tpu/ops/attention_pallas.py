@@ -16,10 +16,17 @@ buffered:
 
 VMEM high-water ~13.5 MB for the sagittal shape (L = P = 1024, K = 576,
 RC = 1024). Numerics match the XLA path (same fuse flatten quirks as the
-reference convs). The v2 kernel (attention_v2_diff) is DIFFERENTIABLE: the
-Pallas kernel runs the forward and a custom VJP supplies an analytic XLA
-backward, so the TPU training path (train_loop.py enables pallas_attention
-on TPU) uses it too. v1 (attention_scores_paste) remains forward-only.
+reference convs). The v2 kernel (attention_v2_diff) is DIFFERENTIABLE:
+the forward optionally emits its s / probs / nrm VMEM intermediates as
+residuals (emit_residuals=True), and the custom VJP's backward is a SECOND
+Pallas kernel (_attention_v2_bwd_kernel) — the full adjoint (paste
+adjoints, softmax backward, the two self-adjoint fuse sweeps in reverse
+order, norm + score backward, 50 offset matmuls total) VMEM-resident per
+sample. Measured v5e bf16: attention fwd+bwd 5.6 ms @bs16 / 13.6 ms @bs64
+vs the XLA formulation's 10.6 / 44.4 (experiments/bwd_prof.py). An XLA
+fallback backward (_att_bwd_xla) is kept and pinned equal by
+tests/test_attention_pallas.py. v1 (attention_scores_paste) remains
+forward-only.
 """
 
 from __future__ import annotations
@@ -60,6 +67,19 @@ def _col_perm_plus(t, n, interpret):
     c = _cols(t)
     main = _roll(t, -n, 1, interpret)
     wrap = _roll(t, -(n - 1), 1, interpret)
+    return jnp.where(c < m - n, main, jnp.where(c < m - 1, wrap, 0.0))
+
+
+def _col_sigma_plus(t, n, interpret):
+    """out[:, c] = t[:, c+n] below the wrap, t[:, c+n-m+1] in [m-n, m-1),
+    zero at c = m-1 — the exact +1 step of the transposed flatten
+    (contextual_attention._perm direction>0). Used by the backward kernel's
+    fuse adjoint; the forward's _col_perm_plus pairs its wrap rows
+    differently (matched by the forward's own row composition)."""
+    m = t.shape[1]
+    c = _cols(t)
+    main = _roll(t, -n, 1, interpret)
+    wrap = _roll(t, -(n + 1), 1, interpret)
     return jnp.where(c < m - n, main, jnp.where(c < m - 1, wrap, 0.0))
 
 
@@ -525,6 +545,191 @@ def _fuse_ops(wd):
     return fuse_fwd, fuse_adj
 
 
+def _attention_v2_bwd_kernel(hd, wd, scale, r_tile, interpret,
+                             fd_ref, bd_ref, bph_ref, dyph_ref, p_ref,
+                             s_in_ref, n_ref, mm_ref,
+                             dfd_ref, dbd_ref, dbph_ref, a_ref, b_ref):
+    """Adjoint of _attention_v2_kernel, VMEM-resident per sample.
+
+    Consumes the forward's residuals (probs, s, nrm_raw) and dy's 2x2 phase
+    planes; produces dfd, dbd and dbph (phase planes of db_full). Mirrors the
+    forward's structure: 16 shifted matmuls for the paste adjoints, softmax
+    backward on (L, P) in VMEM, the two fuse sweeps applied in reverse order
+    (each sweep is self-adjoint), and 9+9 shifted matmuls for the score
+    backward. Matmul operands stay in the input dtype (bf16 in training)."""
+    num_l = hd * wd
+    nt = num_l // r_tile
+    f32 = jnp.float32
+    fdv = fd_ref[0]  # (hd, wd, c) in the input dtype
+    bdv = bd_ref[0]
+    mt = fdv.dtype
+    c = fdv.shape[-1]
+    dn = (((1,), (1,)), ((), ()))  # contract last dims
+    pv = p_ref[0]  # (L, P) f32 gated softmax probs
+    probs_mt = pv.astype(mt)
+
+    # --- paste adjoints: dprobs + dbph (16 offset matmuls, as the fwd) ---
+    dprobs = jnp.zeros((num_l, num_l), f32)
+    for r in range(2):
+        for s_ in range(2):
+            dacc = (dyph_ref[0, r, s_].astype(f32) / 4.0).astype(mt)
+            dbp = jnp.zeros((hd, wd, c), f32)
+            for dy in range(4):
+                if (dy - 1) % 2 != r:
+                    continue
+                a = (dy - 1 - r) // 2
+                for dx in range(4):
+                    if (dx - 1) % 2 != s_:
+                        continue
+                    bb = (dx - 1 - s_) // 2
+                    # fwd: acc += shift2d(out_o, -a, -bb); out_o = P^T raw_o
+                    dout_o = _shift2d(dacc, a, bb).reshape(num_l, c)
+                    raw_o = _shift2d(bph_ref[0, r, s_], a, bb).reshape(num_l, c)
+                    dprobs = dprobs + jax.lax.dot_general(
+                        raw_o, dout_o, dimension_numbers=dn,
+                        preferred_element_type=f32,
+                    )
+                    draw = jax.lax.dot_general(
+                        probs_mt, dout_o,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )  # (L, c)
+                    dbp = dbp + _shift2d(draw.reshape(hd, wd, c), -a, -bb)
+            dbph_ref[0, r, s_] = dbp.astype(dbph_ref.dtype)
+
+    # --- softmax (+row gate) backward, all VMEM-resident ---
+    g_rows = mm_ref[0]  # (L, 1) f32
+    dq = dprobs * g_rows
+    tcol = jnp.sum(pv * dq, axis=0, keepdims=True)  # (1, P)
+    a_ref[:] = pv * (dq - tcol) * g_rows * scale  # dfused
+
+    # --- fuse adjoint: the two self-adjoint sweeps in reverse order ---
+    # fuse2-type sweep (permuted +-wd), a_ref -> b_ref
+    for t in range(nt):
+        r0 = t * r_tile
+        cur = a_ref[r0 : r0 + r_tile, :]
+        if r0 + r_tile + wd <= num_l:
+            plus = a_ref[r0 + wd : r0 + wd + r_tile, :]
+        else:
+            parts = []
+            if num_l - wd - r0 > 0:
+                parts.append(a_ref[r0 + wd : num_l, :])
+            parts.append(a_ref[1:wd, :])
+            parts.append(jnp.zeros_like(cur[:1]))
+            plus = jax.lax.concatenate(parts, 0)
+        if r0 >= wd:
+            minus = a_ref[r0 - wd : r0 - wd + r_tile, :]
+        else:
+            parts = [jnp.zeros_like(cur[:1])]
+            parts.append(a_ref[num_l - wd : num_l - 1, :])
+            parts.append(a_ref[0 : r_tile - wd, :])
+            minus = jax.lax.concatenate(parts, 0)
+        b_ref[r0 : r0 + r_tile, :] = (
+            cur
+            + _col_sigma_plus(plus, wd, interpret)
+            + _col_perm_minus(minus, wd, interpret)
+        )
+    # fuse1-type sweep (diagonal +-1), b_ref -> a_ref
+    for t in range(nt):
+        r0 = t * r_tile
+        cur = b_ref[r0 : r0 + r_tile, :]
+        up = (
+            jax.lax.concatenate([jnp.zeros_like(cur[:1]), b_ref[0 : r_tile - 1, :]], 0)
+            if t == 0 else b_ref[r0 - 1 : r0 + r_tile - 1, :]
+        )
+        dnr = (
+            jax.lax.concatenate([b_ref[r0 + 1 : num_l, :], jnp.zeros_like(cur[:1])], 0)
+            if t == nt - 1 else b_ref[r0 + 1 : r0 + r_tile + 1, :]
+        )
+        a_ref[r0 : r0 + r_tile, :] = (
+            cur + _col_shift(up, -1, interpret) + _col_shift(dnr, +1, interpret)
+        )
+
+    # --- norm backward + score backward (9+9 offset matmuls) ---
+    nrm_raw = n_ref[0]  # (L, 1) f32
+    nrm = jnp.maximum(nrm_raw, 1e-4)
+    ds = a_ref[:]
+    ds0_mt = (ds / nrm).astype(mt)
+    dn_col = -jnp.sum(ds * s_in_ref[0], axis=1, keepdims=True) / nrm
+    dnrm2 = jnp.where(nrm_raw > 1e-4, dn_col * 0.5 / jnp.maximum(nrm_raw, 1e-12), 0.0)
+    dn_grid = dnrm2.reshape(hd, wd, 1)
+    acc_n = jnp.zeros((hd, wd, 1), f32)
+    for dy in range(3):
+        for dx in range(3):
+            acc_n = acc_n + _shift2d(dn_grid, -(dy - 1), -(dx - 1))
+    dfd = jnp.zeros((hd, wd, c), f32)
+    dbd = 2.0 * bdv.astype(f32) * acc_n
+    for dy in range(3):
+        for dx in range(3):
+            f_o = _shift2d(fdv, dy - 1, dx - 1).reshape(num_l, c)
+            b_o = _shift2d(bdv, dy - 1, dx - 1).reshape(num_l, c)
+            dF = jax.lax.dot_general(
+                ds0_mt, b_o, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (P, c)
+            dB = jax.lax.dot_general(
+                ds0_mt, f_o, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (L, c)
+            dfd = dfd + _shift2d(dF.reshape(hd, wd, c), -(dy - 1), -(dx - 1))
+            dbd = dbd + _shift2d(dB.reshape(hd, wd, c), -(dy - 1), -(dx - 1))
+    dfd_ref[0] = dfd.astype(dfd_ref.dtype)
+    dbd_ref[0] = dbd.astype(dbd_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hd", "wd", "scale", "interpret")
+)
+def attention_v2_bwd(fd, bd, b_full, dy, probs, s, nrm_raw, mm, hd, wd,
+                     scale=10.0, interpret=False):
+    """Pallas backward: adjoint of attention_v2 from its saved residuals.
+    Returns (dfd, dbd, db_full)."""
+    bs, _, _, c_in = fd.shape
+    num_l = hd * wd
+    r_tile = 128 if num_l % 128 == 0 else num_l
+    c_pad = (-c_in) % 128
+    if c_pad:
+        pad4 = ((0, 0), (0, 0), (0, 0), (0, c_pad))
+        fd = jnp.pad(fd, pad4)
+        bd = jnp.pad(bd, pad4)
+        b_full = jnp.pad(b_full, pad4)
+        dy = jnp.pad(dy, pad4)
+    c = c_in + c_pad
+    bph = b_full.reshape(bs, hd, 2, wd, 2, c).transpose(0, 2, 4, 1, 3, 5)
+    dyph = dy.reshape(bs, hd, 2, wd, 2, c).transpose(0, 2, 4, 1, 3, 5)
+    kernel = functools.partial(
+        _attention_v2_bwd_kernel, hd, wd, scale, r_tile, interpret
+    )
+    big = pl.BlockSpec((1, num_l, num_l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    feat = pl.BlockSpec((1, hd, wd, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    ph = pl.BlockSpec((1, 2, 2, hd, wd, c), lambda i: (i, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((1, num_l, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dfd, dbd, dbph = pl.pallas_call(
+        kernel,
+        grid=(bs,),
+        in_specs=[feat, feat, ph, ph, big, big, col, col],
+        out_specs=[feat, feat, ph],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, hd, wd, c), fd.dtype),
+            jax.ShapeDtypeStruct((bs, hd, wd, c), bd.dtype),
+            jax.ShapeDtypeStruct((bs, 2, 2, hd, wd, c), b_full.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_l, num_l), jnp.float32),
+            pltpu.VMEM((num_l, num_l), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(
+        fd, bd, bph, dyph, probs.astype(jnp.float32), s.astype(jnp.float32),
+        nrm_raw.astype(jnp.float32), mm[..., None].astype(jnp.float32),
+    )
+    db_full = dbph.transpose(0, 3, 1, 4, 2, 5).reshape(bs, 2 * hd, 2 * wd, c)
+    return dfd[..., :c_in], dbd[..., :c_in], db_full[..., :c_in]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def attention_v2_diff(fd, bd, b_full, mm, hd, wd, scale):
     """Differentiable fused attention: v2 kernel forward, analytic backward."""
@@ -539,6 +744,22 @@ def _att_fwd(fd, bd, b_full, mm, hd, wd, scale):
 
 
 def _att_bwd(hd, wd, scale, res, dy):
+    """Backward dispatch: the Pallas adjoint kernel (VMEM-resident, default)
+    or the XLA fallback (_att_bwd_xla, kept for parity testing and non-TPU
+    paths when the kernel is unavailable)."""
+    if _USE_BWD_KERNEL:
+        fd, bd, b_full, mm, s, probs, nrm_raw = res
+        dfd, dbd, db_full = attention_v2_bwd(
+            fd, bd, b_full, dy, probs, s, nrm_raw, mm, hd, wd, scale
+        )
+        return dfd, dbd, db_full, jnp.zeros_like(mm)
+    return _att_bwd_xla(hd, wd, scale, res, dy)
+
+
+_USE_BWD_KERNEL = True
+
+
+def _att_bwd_xla(hd, wd, scale, res, dy):
     from .contextual_attention import extract_patches
 
     fd, bd, b_full, mm, s, probs, nrm_raw = res

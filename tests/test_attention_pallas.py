@@ -20,6 +20,11 @@ def _interpret(monkeypatch):
         ap, "attention_v2",
         lambda *a, **k: orig2(*a, **{**k, "interpret": True}),
     )
+    orig3 = ap.attention_v2_bwd
+    monkeypatch.setattr(
+        ap, "attention_v2_bwd",
+        lambda *a, **k: orig3(*a, **{**k, "interpret": True}),
+    )
 
 
 def test_pallas_matches_xla(rng):
@@ -80,3 +85,30 @@ def test_custom_vjp_gradients_match_xla(rng):
     l2, g2 = jax.value_and_grad(loss_fused)(f)
     assert float(l1) == pytest.approx(float(l2), rel=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-3, atol=2e-5)
+
+
+def test_bwd_kernel_matches_xla_bwd(rng):
+    """The Pallas adjoint kernel vs the XLA backward (_att_bwd_xla) on the
+    same saved residuals and random cotangents, at the two-tile shape
+    (L=256) that exercises the halo'd fuse-adjoint sweeps."""
+    from healthivert_tpu.ops.attention_pallas import _att_bwd_xla, attention_v2
+
+    hd = wd = 16
+    f = jnp.asarray(rng.standard_normal((2, hd, wd, 4)).astype(np.float32))
+    b_full = jnp.asarray(
+        rng.standard_normal((2, 2 * hd, 2 * wd, 4)).astype(np.float32)
+    )
+    mm = jnp.asarray(
+        (rng.random((2, hd * wd)) > 0.3).astype(np.float32)
+    )
+    y, s, probs, nrm = ap.attention_v2(
+        f, f, b_full, mm, hd, wd, 10.0, emit_residuals=True
+    )
+    dy = jnp.asarray(rng.standard_normal(y.shape).astype(np.float32))
+    res = (f, f, b_full, mm, s, probs, nrm)
+    want = _att_bwd_xla(hd, wd, 10.0, res, dy)
+    got = ap.attention_v2_bwd(f, f, b_full, dy, probs, s, nrm, mm, hd, wd, 10.0)
+    for g, w, name in zip(got, want[:3], ("dfd", "dbd", "db_full")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-4, err_msg=name
+        )
