@@ -62,20 +62,14 @@ def _col_shift(t, k, interpret):
 
 def _col_perm_plus(t, n, interpret):
     """out[:, c] = t[:, sigma_plus(c)]: t[c+n] below the wrap, t[c+n-m+1] in
-    the wrap region [m-n, m-1), zero at c = m-1."""
-    m = t.shape[1]
-    c = _cols(t)
-    main = _roll(t, -n, 1, interpret)
-    wrap = _roll(t, -(n - 1), 1, interpret)
-    return jnp.where(c < m - n, main, jnp.where(c < m - 1, wrap, 0.0))
+    the wrap region [m-n, m-1), zero at c = m-1 — the exact +1 step of the
+    transposed flatten (contextual_attention._perm direction>0).
 
-
-def _col_sigma_plus(t, n, interpret):
-    """out[:, c] = t[:, c+n] below the wrap, t[:, c+n-m+1] in [m-n, m-1),
-    zero at c = m-1 — the exact +1 step of the transposed flatten
-    (contextual_attention._perm direction>0). Used by the backward kernel's
-    fuse adjoint; the forward's _col_perm_plus pairs its wrap rows
-    differently (matched by the forward's own row composition)."""
+    Regression note: the wrap roll was -(n-1) until round 2, off by two from
+    sigma_plus. The error only reaches soft (non-one-hot) attention queries
+    in the BOTTOM row of the query grid, which no centered hole band ever
+    produced — caught by the backward-kernel adjoint derivation and pinned
+    by test_pallas_bottom_band."""
     m = t.shape[1]
     c = _cols(t)
     main = _roll(t, -n, 1, interpret)
@@ -626,7 +620,7 @@ def _attention_v2_bwd_kernel(hd, wd, scale, r_tile, interpret,
             minus = jax.lax.concatenate(parts, 0)
         b_ref[r0 : r0 + r_tile, :] = (
             cur
-            + _col_sigma_plus(plus, wd, interpret)
+            + _col_perm_plus(plus, wd, interpret)
             + _col_perm_minus(minus, wd, interpret)
         )
     # fuse1-type sweep (diagonal +-1), b_ref -> a_ref

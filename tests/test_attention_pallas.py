@@ -112,3 +112,16 @@ def test_bwd_kernel_matches_xla_bwd(rng):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-4, err_msg=name
         )
+
+
+def test_pallas_bottom_band(rng):
+    """Hole band at the image BOTTOM: the wrap-region queries (last row of
+    the query grid) get soft attention, exercising the sigma_plus column
+    wrap of the second fuse pass. Regression for the -(n-1) wrap roll that
+    survived round 1 (only one-hot queries ever hit the wrap before)."""
+    f = jnp.asarray(rng.standard_normal((1, 32, 32, 4)).astype(np.float32))
+    mask = np.zeros((1, 128, 128, 1), np.float32)
+    mask[:, 88:128] = 1.0
+    a = contextual_attention(f, f, jnp.asarray(mask), use_pallas=False)
+    b = contextual_attention(f, f, jnp.asarray(mask), use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-5)
