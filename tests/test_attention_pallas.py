@@ -125,3 +125,15 @@ def test_pallas_bottom_band(rng):
     a = contextual_attention(f, f, jnp.asarray(mask), use_pallas=False)
     b = contextual_attention(f, f, jnp.asarray(mask), use_pallas=True)
     np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-5)
+
+
+def test_pallas_top_band(rng):
+    """Hole band at the image TOP: soft queries in the first query-grid rows
+    exercise the sigma_minus column wrap (the symmetric counterpart of
+    test_pallas_bottom_band)."""
+    f = jnp.asarray(rng.standard_normal((1, 32, 32, 4)).astype(np.float32))
+    mask = np.zeros((1, 128, 128, 1), np.float32)
+    mask[:, 0:40] = 1.0
+    a = contextual_attention(f, f, jnp.asarray(mask), use_pallas=False)
+    b = contextual_attention(f, f, jnp.asarray(mask), use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-5)
