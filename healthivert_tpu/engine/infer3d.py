@@ -32,9 +32,13 @@ MAXHEIGHT = 40
 
 
 # rows of x_stage2/fine_seg the reassembly can ever read: x_upper >= x1 - 20
-# and x_bottom <= x1 + MAXHEIGHT (pred height is sigmoid*MAXHEIGHT, the
-# centering shift is at most (MAXHEIGHT - height) // 2) -> a 64-row window
-# starting 20 rows above the vertebra top covers everything
+# and x_bottom <= x1 + max(MAXHEIGHT, height) (pred height is
+# sigmoid*MAXHEIGHT, the centering shift is at most
+# (MAXHEIGHT - height) // 2). A 64-row window starting 20 rows above the
+# vertebra top covers every height <= 44; taller vertebrae (the reference
+# keeps height = x2 - x1 even past MAXHEIGHT) bump the pass's window to the
+# next 32-row bucket (_run_pass) — caught by the run_model oracle
+# (tests/test_infer3d_oracle.py, the 52-row case).
 WINDOW = 64
 
 
@@ -56,9 +60,11 @@ def _band_inputs(ct, cam, x1, x2, min_x, max_x):
     return gather(ct), mask.astype(jnp.uint8), gather(cam)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_bf16", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "use_bf16", "use_pallas", "win")
+)
 def _forward(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, ratio, w0,
-             cfg: Pix2PixConfig, use_bf16=True, use_pallas=False):
+             cfg: Pix2PixConfig, use_bf16=True, use_pallas=False, win=WINDOW):
     from healthivert_tpu.models.generator import Generator
 
     gen = Generator(cnum=cfg.ngf, use_pallas_attention=use_pallas)
@@ -84,7 +90,7 @@ def _forward(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, ratio
     # device->host hop (u8 + crop = ~16x less D2H than f32 full slices)
     fake_u8 = jnp.round((out.x_stage2.astype(jnp.float32) + 1.0) * 127.5).astype(jnp.uint8)
     seg_u8 = (out.fine_seg > 0.5).astype(jnp.uint8)
-    win = min(WINDOW, fake_u8.shape[1])  # small volumes: window = whole slice
+    win = min(win, fake_u8.shape[1])  # small volumes: window = whole slice
     crop = jax.vmap(
         lambda img, r0: jax.lax.dynamic_slice_in_dim(img, r0, win, axis=0)
     )
@@ -120,11 +126,10 @@ def _slice_geometry(label_sl: np.ndarray, ct_sl: np.ndarray, vert_id: int):
 
     ct_u8 = ct_sl.astype(np.uint8)  # once; reused by _reassemble via geo
 
-    # device-output crop origin: covers every row _reassemble can touch
-    # (x_upper >= x1-20; min(x_bottom, width) <= w0 + WINDOW for all cases)
-    w0 = min(max(x1 - 20, 0), max(width - WINDOW, 0))
+    # geo["w0"] (device-output crop origin) is assigned by _run_pass once the
+    # pass's window size is known (taller-than-MAXHEIGHT vertebrae widen it)
     return dict(x1=x1, x2=x2, height=height, min_x=min_x, max_x=max_x,
-                ct_u8=ct_u8, w0=w0)
+                ct_u8=ct_u8, width=width)
 
 
 def _reassemble(geo, x_stage2_win, fine_seg_win, pred_h, ct_sl, label_sl, vert_id):
@@ -168,6 +173,12 @@ def _run_pass(g_params, g_sn, cfg, jobs, ratios, cam_stack, job_zidx,
         use_pallas = jax.default_backend() == "tpu"
     if not jobs:
         return []
+    # window bucket for this pass: covers x1-20 .. x1+max(MAXHEIGHT, height)
+    # for the tallest job (32-row buckets bound recompiles)
+    need = 20 + max(MAXHEIGHT, max(j["height"] for j in jobs))
+    win = max(WINDOW, -(-need // 32) * 32)
+    for j in jobs:
+        j["w0"] = min(max(j["x1"] - 20, 0), max(j["width"] - win, 0))
     n = len(jobs)
     outs = []
     for i0 in range(0, n, batch_size):
@@ -187,7 +198,7 @@ def _run_pass(g_params, g_sn, cfg, jobs, ratios, cam_stack, job_zidx,
         x2_, seg, ph = _forward(
             g_params, g_sn, jnp.asarray(ct), cam_stack, jnp.asarray(zidx),
             ints["x1"], ints["x2"], ints["min_x"], ints["max_x"],
-            jnp.asarray(rat), ints["w0"], cfg, use_bf16, use_pallas
+            jnp.asarray(rat), ints["w0"], cfg, use_bf16, use_pallas, win
         )
         x2_, seg, ph = np.asarray(x2_), np.asarray(seg), np.asarray(ph)
         for k in range(len(chunk)):

