@@ -42,8 +42,7 @@ def _converge_spectral_norm(model, iters=200):
     converge_spectral_norm(torch, model, iters=iters)
 
 
-@pytest.fixture(scope="module")
-def oracle(tmp_path_factory):
+def _run_oracle(tmp_path_factory, h, hole):
     """Reference torch generator outputs + our flax generator outputs on the
     same batch, with weights flowing reference -> .pth -> our reader."""
     import jax
@@ -54,7 +53,7 @@ def oracle(tmp_path_factory):
 
     nets = _load_reference_inpaint_networks()
 
-    cnum, b, h = 8, 2, 256
+    cnum, b = 8, 2
     torch.manual_seed(0)
     ref_g = nets.Generator({"input_dim": 1, "ngf": cnum}, use_cuda=False)
     _converge_spectral_norm(ref_g)
@@ -67,7 +66,7 @@ def oracle(tmp_path_factory):
         torch.from_numpy(base), scale_factor=8, mode="bilinear", align_corners=False
     ).clamp(-1, 1)
     mask = torch.zeros((b, 1, h, h))
-    mask[:, :, 100:140, :] = 1.0
+    mask[:, :, hole[0] : hole[1], :] = 1.0
     x = ct * (1 - mask)
     cam = torch.from_numpy(rng.random((b, 1, h, h)).astype(np.float32))
     ratio = torch.from_numpy(rng.random((b,)).astype(np.float32))
@@ -105,6 +104,11 @@ def oracle(tmp_path_factory):
     return ref_out, ours, n_loaded
 
 
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    return _run_oracle(tmp_path_factory, h=256, hole=(100, 140))
+
+
 def test_state_dict_fully_consumed(oracle):
     _, _, n_loaded = oracle
     # every weight_orig/bias/weight_u in the reference generator maps in:
@@ -127,3 +131,13 @@ def test_state_dict_fully_consumed(oracle):
 def test_forward_parity_vs_reference_torch(oracle, key, atol):
     ref_out, ours, _ = oracle
     np.testing.assert_allclose(ours[key], ref_out[key], atol=atol, err_msg=key)
+
+
+def test_forward_parity_128_bottom_hole(tmp_path_factory):
+    """Second shape (128^2 -> attention L=256, two row tiles) with the hole
+    band at the image BOTTOM, so soft attention queries reach the transposed-
+    flatten wrap region — full-net parity vs the reference at the geometry
+    that exposed the round-2 sigma+ wrap bug."""
+    ref_out, ours, _ = _run_oracle(tmp_path_factory, h=128, hole=(88, 128))
+    for key in ("x_stage1", "coarse_seg", "x_stage2", "fine_seg", "pred1_h", "pred2_h"):
+        np.testing.assert_allclose(ours[key], ref_out[key], atol=1e-5, err_msg=key)
