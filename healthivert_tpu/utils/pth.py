@@ -298,7 +298,10 @@ def map_discriminator_state(
     stats: dict = {}
     for key, arr in state.items():
         parts = key.split(".")
-        if parts[0] != "model" or len(parts) != 3:
+        # NLayerDiscriminator's sequential is named 'model'; the reference
+        # PixelDiscriminator names its (layout-compatible, n_layers=1)
+        # sequential 'net' (networks.py:753)
+        if parts[0] not in ("model", "net") or len(parts) != 3:
             continue
         idx, leaf = int(parts[1]), parts[2]
         a = np.asarray(arr, np.float32)

@@ -23,14 +23,12 @@ pytestmark = pytest.mark.skipif(
 
 
 def _map_pixel_state(state):
-    """PixelDiscriminator (networks.py:724-753): its sequential is named
-    ``net`` (not ``model``) but its layout (conv@0, conv@2, norm@3, conv@5)
-    coincides with the n_layers=1 PatchGAN pattern, so rename and reuse the
-    generic mapper."""
+    """PixelDiscriminator (networks.py:724-753): sequential named ``net``,
+    layout (conv@0, conv@2, norm@3, conv@5) = the n_layers=1 PatchGAN
+    pattern; the generic mapper handles both names."""
     from healthivert_tpu.utils.pth import map_discriminator_state
 
-    renamed = {"model." + k.split(".", 1)[1]: v for k, v in state.items()}
-    return map_discriminator_state(renamed, n_layers=1)
+    return map_discriminator_state(state, n_layers=1)
 
 
 @pytest.mark.parametrize(
