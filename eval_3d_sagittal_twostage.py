@@ -90,10 +90,25 @@ def main(argv=None):
             vols.append((ct_img.get_fdata(), lb_img.get_fdata(), vert_id, cam))
             imgs.append(ct_img)
 
-        results = synthesize_volumes(
-            state.g_params, state.g_sn, cfg, vols,
-            batch_size=ns.slice_batch, axis=axis,
-        )
+        # synthesize_volumes stacks slices across the group, so all members
+        # must share the same slice shape along the chosen axis; a patient
+        # with mismatched volume shapes degrades to per-shape sub-groups
+        # instead of crashing in np.concatenate
+        def _slice_shape(v):
+            s = v[0].shape
+            return (s[0], s[1]) if axis == 2 else (s[0], s[2])
+
+        by_shape: dict = {}
+        for i, v in enumerate(vols):
+            by_shape.setdefault(_slice_shape(v), []).append(i)
+        results = [None] * len(vols)
+        for idxs in by_shape.values():
+            sub = synthesize_volumes(
+                state.g_params, state.g_sn, cfg, [vols[i] for i in idxs],
+                batch_size=ns.slice_batch, axis=axis,
+            )
+            for i, r in zip(idxs, sub):
+                results[i] = r
         for fname, ct_img, (ct_fake, lb_fake) in zip(group, imgs, results):
             nifti.save(nifti.Nifti1Image(ct_fake.astype(np.float32), ct_img.affine),
                        os.path.join(out_ct, fname))

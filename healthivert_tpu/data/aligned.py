@@ -99,7 +99,7 @@ class AlignedDataset:
     def __len__(self):
         return len(self.vertebra_ids)
 
-    def _load_example(self, pv: str, attempt: int = 0):
+    def _load_example(self, pv: str):
         patient, vert = pv.rsplit("_", 1)
         vert_id = int(vert)
         ct = nifti.load(os.path.join(self.dataroot, "CT", pv + ".nii.gz")).get_fdata()
@@ -122,7 +122,10 @@ class AlignedDataset:
         if not self.serial:
             self.rng.shuffle(order)
         ids = [self.vertebra_ids[i] for i in order]
-        for i in range(0, len(ids) - self.batch_size + 1, self.batch_size):
+        # the final partial batch is yielded short, matching the reference
+        # DataLoader's drop_last=False (/root/reference/data/__init__.py:88-93)
+        # — every vertebra is seen each epoch/eval pass
+        for i in range(0, len(ids), self.batch_size):
             chunk = ids[i : i + self.batch_size]
             examples = list(self.pool.map(self._load_example, chunk))
             yield collate(examples)

@@ -84,10 +84,13 @@ def restore_full_pth(state, g_pth_path: str, n_layers_d: int = 3):
     from healthivert_tpu.utils.pth import load_discriminator_pth
 
     state = restore_generator_pth(state, g_pth_path)
-    if "_net_G" not in os.path.basename(g_pth_path):
+    g_dir, g_base = os.path.split(g_pth_path)
+    if "_net_G" not in g_base:
         return state
     for i in (1, 2, 3):
-        d_path = g_pth_path.replace("_net_G", f"_net_D_{i}")
+        # replace on the basename only: a run *directory* containing
+        # '_net_G' must not corrupt the sibling paths
+        d_path = os.path.join(g_dir, g_base.replace("_net_G", f"_net_D_{i}"))
         if not os.path.exists(d_path):
             print(f"no discriminator checkpoint {d_path}; keeping initialized D_{i}")
             continue

@@ -213,9 +213,9 @@ def _get_slice(vol, z, axis):
 def _cam_bucket(n: int) -> int:
     """Pad the device CAM stack's row count to a small set of bucket sizes so
     patients with different total slice counts share _forward compilations.
-    16/32/64 for single-vertebra calls, then 64-multiples (the padding is
-    uploaded through the ~10 MB/s tunnel, so power-of-2 buckets measurably
-    hurt multi-vertebra calls)."""
+    16-multiples (16/32/48/64) for single-vertebra calls, then 64-multiples
+    (the padding is uploaded through the ~10 MB/s tunnel, so power-of-2
+    buckets measurably hurt multi-vertebra calls)."""
     if n <= 64:
         return max(16, -(-n // 16) * 16)
     return -(-n // 64) * 64

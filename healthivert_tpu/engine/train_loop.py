@@ -23,7 +23,13 @@ from healthivert_tpu.models.pix2pix import (
     init_state,
     train_step,
 )
-from healthivert_tpu.parallel import make_mesh, replicate_state, shard_batch
+from healthivert_tpu.parallel import (
+    ensure_initialized,
+    make_mesh,
+    process_batch_slice,
+    replicate_state,
+    shard_batch,
+)
 from . import checkpoint as ckpt
 from .evaluate import evaluate_model
 from .visualizer import HTMLGallery, Visualizer, save_images
@@ -119,8 +125,23 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         print(f"learning rate {lr:.7f} for epoch {epoch}")
         epoch_iter = 0
         iter_data_time = time.time()
+        def _pad_full(b):
+            # the dataset yields the trailing partial batch (reference
+            # DataLoader drop_last=False); pad it back to the full batch size
+            # by repeating examples so the compiled step keeps its static
+            # shapes (no recompile, mesh-divisible). One step per epoch
+            # weights the repeated examples double — the reference instead
+            # runs a genuinely smaller step there.
+            n = next(iter(b.values())).shape[0]
+            if n == opt.batch_size:
+                return b
+            reps = -(-opt.batch_size // n)
+            return {
+                k: np.concatenate([v] * reps)[: opt.batch_size] for k, v in b.items()
+            }
+
         batches = prefetch_to_device(
-            dataset, lambda b: (b, shard_batch(b, mesh)), depth=2
+            dataset, lambda b: (b, shard_batch(_pad_full(b), mesh)), depth=2
         )
         for batch, sb in batches:
             iter_start = time.time()

@@ -407,11 +407,9 @@ class LRSchedule:
 # --- registry hookup -------------------------------------------------------
 
 def _option_setter(parser, is_train):
-    # pix2pix_model.py:65-72: defaults + lambda_L1
-    parser.set_defaults(norm="batch", netG="unet_256", dataset_mode="aligned")
-    # pix2pix defaults (reference pix2pix_model.py:67-70): batchnorm Ds,
+    # pix2pix defaults (reference pix2pix_model.py:65-72): batchnorm Ds,
     # unet_256 netG name (cosmetic here — G is the inpaint Generator),
-    # aligned dataset
+    # aligned dataset; + lambda_L1 when training
     parser.set_defaults(norm="batch", netG="unet_256", dataset_mode="aligned")
     if is_train:
         parser.set_defaults(pool_size=0, gan_mode="vanilla")

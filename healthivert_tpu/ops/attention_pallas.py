@@ -738,9 +738,11 @@ def _att_fwd(fd, bd, b_full, mm, hd, wd, scale):
 
 
 def _att_bwd(hd, wd, scale, res, dy):
-    """Backward dispatch: the Pallas adjoint kernel (VMEM-resident, default)
-    or the XLA fallback (_att_bwd_xla, kept for parity testing and non-TPU
-    paths when the kernel is unavailable)."""
+    """Backward dispatch: the Pallas adjoint kernel (VMEM-resident, always
+    used in production — pallas attention itself is only enabled on TPU) or
+    the XLA formulation (_att_bwd_xla). The flag exists for tests/debugging:
+    tests flip it (with the kernel in interpret mode) to pin the two
+    backward paths equal; there is no runtime backend dispatch."""
     if _USE_BWD_KERNEL:
         fd, bd, b_full, mm, s, probs, nrm_raw = res
         dfd, dbd, db_full = attention_v2_bwd(

@@ -61,6 +61,41 @@ def test_split_partition(tmp_path):
     assert by_patient == {"p1": ["20"], "p2": ["19"]}
 
 
+def test_aligned_dataset_yields_trailing_partial_batch(tmp_path):
+    """N % batch_size != 0 must still yield all N examples per epoch — the
+    reference DataLoader's drop_last=False (/root/reference/data/__init__.py:
+    88-93); round 2 silently dropped the remainder."""
+    from healthivert_tpu.data.aligned import AlignedDataset
+    from healthivert_tpu.data.synthetic import make_spine_volume
+    from healthivert_tpu.utils import nifti
+
+    rng = np.random.default_rng(0)
+    ct, labels, _ = make_spine_volume(
+        rng, shape=(128, 128, 16), vert_ids=(19, 20), vert_height=14, gap=8
+    )
+    for d in ("CT", "label"):
+        os.makedirs(tmp_path / d)
+    split = {"train": {}}
+    for i in range(5):
+        pv = f"p{i}_20"
+        split["train"][pv] = 0
+        aff = np.eye(4)
+        nifti.save(nifti.Nifti1Image(ct.astype(np.float32), aff),
+                   str(tmp_path / "CT" / f"{pv}.nii.gz"))
+        nifti.save(nifti.Nifti1Image(labels.astype(np.int16), aff),
+                   str(tmp_path / "label" / f"{pv}.nii.gz"))
+    (tmp_path / "vertebra_data_local.json").write_text(json.dumps(split))
+
+    opt = types.SimpleNamespace(
+        batch_size=2, seed=0, dataroot=str(tmp_path), phase="train",
+        vert_class="normal", num_threads=2, serial_batches=True,
+    )
+    ds = AlignedDataset(opt)
+    sizes = [next(iter(b.values())).shape[0] for b in ds]
+    assert sizes == [2, 2, 1]
+    assert sum(sizes) == len(ds) == 5
+
+
 def test_shipped_split_file_found_and_parsed(tmp_path, monkeypatch):
     """The repo ships vertebra_data.json (Verse2019 splits, 1460 verts); the
     dataset finds it from any cwd when dataroot has no local split file."""
