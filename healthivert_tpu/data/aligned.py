@@ -95,11 +95,28 @@ class AlignedDataset:
             )
         self.pool = ThreadPoolExecutor(max_workers=max(1, opt.num_threads))
         self.serial = getattr(opt, "serial_batches", False)
+        self._epoch = -1
+        # multi-host data parallelism: every process derives the SAME epoch
+        # order (shared seed) but loads only its own contiguous slice of each
+        # global batch — disjoint data, no duplicated IO
+        # (parallel/distributed.process_batch_slice; SURVEY.md §2.4)
+        self.local_slice = None
+        import jax
+
+        if jax.process_count() > 1:
+            from healthivert_tpu.parallel.distributed import process_batch_slice
+
+            if self.batch_size % jax.process_count() != 0:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must divide by process "
+                    f"count {jax.process_count()}"
+                )
+            self.local_slice = process_batch_slice(self.batch_size)
 
     def __len__(self):
         return len(self.vertebra_ids)
 
-    def _load_example(self, pv: str):
+    def _load_example(self, pv: str, global_idx: int = 0):
         patient, vert = pv.rsplit("_", 1)
         vert_id = int(vert)
         ct = nifti.load(os.path.join(self.dataroot, "CT", pv + ".nii.gz")).get_fdata()
@@ -112,12 +129,15 @@ class AlignedDataset:
             if cp:
                 cam = nifti.load(cp).get_fdata()
         normal_ids = [int(v) for v in self.normal_by_patient.get(patient, [])]
-        rng = self.rng if self.serial else np.random.default_rng(
-            self.rng.integers(2**63)
-        )
+        # slice-sampling rng keyed by (seed, epoch, global example index):
+        # deterministic regardless of process layout or thread scheduling, so
+        # a P-process run consumes bit-identical global batches to a
+        # single-process run (pinned by tests/test_multiprocess.py)
+        rng = np.random.default_rng((self.opt.seed, self._epoch, global_idx))
         return build_example(rng, ct, labels, vert_id, normal_ids, cam)
 
     def __iter__(self):
+        self._epoch += 1
         order = np.arange(len(self.vertebra_ids))
         if not self.serial:
             self.rng.shuffle(order)
@@ -127,7 +147,17 @@ class AlignedDataset:
         # — every vertebra is seen each epoch/eval pass
         for i in range(0, len(ids), self.batch_size):
             chunk = ids[i : i + self.batch_size]
-            examples = list(self.pool.map(self._load_example, chunk))
+            gidx = list(range(i, i + len(chunk)))
+            if self.local_slice is not None:
+                if len(chunk) < self.batch_size:
+                    # multi-process sharding needs the full static size: pad
+                    # the global trailing chunk by repetition before slicing
+                    reps = -(-self.batch_size // len(chunk))
+                    chunk = (chunk * reps)[: self.batch_size]
+                    gidx = (gidx * reps)[: self.batch_size]
+                chunk = chunk[self.local_slice]
+                gidx = gidx[self.local_slice]
+            examples = list(self.pool.map(self._load_example, chunk, gidx))
             yield collate(examples)
 
 

@@ -21,7 +21,12 @@ def _abs(path: str) -> str:
 
 
 def save_checkpoint(state, directory: str, tag: str = "latest") -> str:
-    """Serialize a TrainState pytree to {directory}/{tag} (atomic)."""
+    """Serialize a TrainState pytree to {directory}/{tag} (atomic).
+
+    Multi-process contract: EVERY process must call this with the same path
+    (a shared filesystem) — orbax runs a cross-process sync barrier and only
+    the primary host writes. Gating the call on process_index()==0 deadlocks
+    the barrier (observed as a Gloo GetKeyValue timeout on CPU meshes)."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(_abs(directory), str(tag))
     ckptr = ocp.StandardCheckpointer()

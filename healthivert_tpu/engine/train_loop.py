@@ -82,11 +82,22 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         # 10.7 ms @bs16, 33.9 vs 44.4 @bs64 against the XLA formulation).
         pallas_attention=jax.default_backend() == "tpu",
     )
+    # multi-host: init jax.distributed when the standard env vars ask for it
+    # (the reference's parallelism is single-process DataParallel,
+    # /root/reference/models/networks.py:112-116; here DP spans hosts)
+    multiproc = ensure_initialized()
+    is_main = jax.process_index() == 0
     mesh = make_mesh(opt.mesh)
     n_data = mesh.shape.get("data", 1)
     if opt.batch_size % max(n_data, 1) != 0:
         raise ValueError(
             f"batch_size {opt.batch_size} must divide by data-axis size {n_data}"
+        )
+    local_bs = opt.batch_size // jax.process_count()
+    if multiproc and opt.batch_size % jax.process_count() != 0:
+        raise ValueError(
+            f"batch_size {opt.batch_size} must divide by process count "
+            f"{jax.process_count()}"
         )
 
     dataset = create_dataset(opt)
@@ -101,7 +112,8 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
 
     run_dir = os.path.join(opt.checkpoints_dir, opt.name)
     os.makedirs(run_dir, exist_ok=True)
-    visualizer = Visualizer(opt)
+    # logs / web visuals / checkpoints are written by process 0 only
+    visualizer = Visualizer(opt) if is_main else None
 
     state = init_state(jax.random.PRNGKey(opt.seed), cfg)
     if getattr(opt, "load_pth", None):
@@ -125,24 +137,34 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         print(f"learning rate {lr:.7f} for epoch {epoch}")
         epoch_iter = 0
         iter_data_time = time.time()
-        def _pad_full(b):
+        def _pad_to(b, size):
             # the dataset yields the trailing partial batch (reference
-            # DataLoader drop_last=False); pad it back to the full batch size
-            # by repeating examples so the compiled step keeps its static
+            # DataLoader drop_last=False); pad it back to the static batch
+            # size by repeating examples so the compiled step keeps its
             # shapes (no recompile, mesh-divisible). One step per epoch
             # weights the repeated examples double — the reference instead
             # runs a genuinely smaller step there.
             n = next(iter(b.values())).shape[0]
-            if n == opt.batch_size:
+            if n == size:
                 return b
-            reps = -(-opt.batch_size // n)
-            return {
-                k: np.concatenate([v] * reps)[: opt.batch_size] for k, v in b.items()
-            }
+            reps = -(-size // n)
+            return {k: np.concatenate([v] * reps)[:size] for k, v in b.items()}
 
-        batches = prefetch_to_device(
-            dataset, lambda b: (b, shard_batch(_pad_full(b), mesh)), depth=2
-        )
+        local = process_batch_slice(opt.batch_size)
+
+        def _prep(b):
+            n = next(iter(b.values())).shape[0]
+            if multiproc and n > local_bs:
+                # dataset yielded the GLOBAL batch on every process (e.g. the
+                # synthetic dataset): keep only this process's disjoint slice
+                b = _pad_to(b, opt.batch_size)
+                b = {k: v[local] for k, v in b.items()}
+            else:
+                # dataset is process-aware (AlignedDataset) or single-process
+                b = _pad_to(b, local_bs)
+            return b, shard_batch(b, mesh, global_batch=opt.batch_size)
+
+        batches = prefetch_to_device(dataset, _prep, depth=2)
         for batch, sb in batches:
             iter_start = time.time()
             t_data = iter_start - iter_data_time
@@ -166,12 +188,16 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
                         f"non-finite losses at step {int(state.step)}: {bad}"
                     )
                 t_comp = (time.time() - iter_start) / opt.batch_size
-                visualizer.print_current_losses(epoch, epoch_iter, host_losses, t_comp, t_data)
-                visualizer.log_scalars("train", host_losses, total_iters)
+                if is_main:
+                    visualizer.print_current_losses(epoch, epoch_iter, host_losses, t_comp, t_data)
+                    visualizer.log_scalars("train", host_losses, total_iters)
 
-            if getattr(opt, "display_freq", 0) and total_iters % opt.display_freq < opt.batch_size:
+            if is_main and getattr(opt, "display_freq", 0) and total_iters % opt.display_freq < opt.batch_size:
                 _save_web_visuals(state, batch, cfg, run_dir, epoch, total_iters, visualizer)
 
+            # checkpoint saves run on EVERY process: orbax coordinates
+            # internally (a cross-process sync barrier; only the primary
+            # host writes) — gating on is_main would deadlock the barrier
             if total_iters % opt.save_latest_freq < opt.batch_size:
                 tag = f"iter_{total_iters}" if opt.save_by_iter else "latest"
                 ckpt.save_checkpoint(state, run_dir, tag)
@@ -185,17 +211,28 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
             ckpt.save_checkpoint(state, run_dir, epoch)
 
         if eval_dataset is not None and epoch % getattr(opt, "eval_freq", 15) == 0:
+            # multi-process: params are fully replicated, so the eval forward
+            # runs on host-local copies on EVERY process (identical compute,
+            # no collectives -> no cross-process sync hazard); only process 0
+            # logs. Keeping all processes on the same code path also keeps
+            # the plateau LR policy's metric identical everywhere.
+            g_params, g_sn = state.g_params, state.g_sn
+            if multiproc:
+                g_params = jax.device_get(g_params)
+                g_sn = jax.device_get(g_sn)
             avg = evaluate_model(
-                state.g_params, state.g_sn, eval_dataset, cfg,
-                out_dir=os.path.join(run_dir, "eval_imgs"), epoch=epoch,
+                g_params, g_sn, eval_dataset, cfg,
+                out_dir=os.path.join(run_dir, "eval_imgs") if is_main else None,
+                epoch=epoch,
             )
             if avg:
                 last_metric = -avg["ssim"]  # plateau policy input (minimized)
-                visualizer.log_scalars("eval", avg, epoch)
-                print(
-                    f"epoch[{epoch}] SSIM: {avg['ssim']:.4f} PSNR: {avg['psnr']:.2f} "
-                    f"Dice: {avg['dice']:.4f} IoU: {avg['iou']:.4f} DiffH: {avg['diff_h']:.2f}"
-                )
+                if is_main:
+                    visualizer.log_scalars("eval", avg, epoch)
+                    print(
+                        f"epoch[{epoch}] SSIM: {avg['ssim']:.4f} PSNR: {avg['psnr']:.2f} "
+                        f"Dice: {avg['dice']:.4f} IoU: {avg['iou']:.4f} DiffH: {avg['diff_h']:.2f}"
+                    )
         print(
             f"End of epoch {epoch} / {opt.n_epochs + opt.n_epochs_decay} \t "
             f"Time Taken: {int(time.time() - epoch_start)} sec"

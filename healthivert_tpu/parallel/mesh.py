@@ -42,13 +42,39 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Place a host batch dict on the mesh, sharded along the batch dim."""
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data", global_batch=None) -> dict:
+    """Place a host batch dict on the mesh, sharded along the batch dim.
+
+    Single-process: `batch` is the full global batch (device_put splits it
+    over the axis). Multi-process: `batch` is this PROCESS'S slice of the
+    global batch (see distributed.process_batch_slice) and `global_batch`
+    names the global leading dim; the global jax.Array is assembled from the
+    per-process shards without any cross-host data movement."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        def place(v):
+            gb = global_batch if global_batch is not None else (
+                v.shape[0] * jax.process_count()
+            )
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(v), (gb, *v.shape[1:])
+            )
+        return {k: place(v) for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
 def replicate_state(state, mesh: Mesh):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Multi-process: every process holds an identical host copy (same init
+    PRNGKey / restored checkpoint), so the global replicated Array is
+    assembled from the local copies — no broadcast traffic."""
     rep = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda v: jax.make_array_from_process_local_data(
+                rep, np.asarray(v), np.shape(v)
+            ),
+            state,
+        )
     return jax.device_put(state, rep)
