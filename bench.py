@@ -203,6 +203,29 @@ def main():
         except Exception as e:
             print(f"# spine latency bench failed: {e!r}"[:200], file=sys.stderr)
 
+    # mesh-sharded 3D inference (eval_3d --mesh / infer3d mesh=...): slice
+    # batches sharded over the 'data' axis via shard_map. The driver's bench
+    # chip is single-device, so this records only when >1 device is visible.
+    mesh_spine = None
+    if os.environ.get("BENCH_SPINE", "1") != "0" and len(jax.devices()) > 1:
+        try:
+            from healthivert_tpu.parallel import make_mesh
+
+            mesh = make_mesh("data:-1")
+            synthesize_volumes(
+                state.g_params, state.g_sn, cfg, vols, mesh=mesh
+            )  # compile
+            bestm = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                synthesize_volumes(state.g_params, state.g_sn, cfg, vols, mesh=mesh)
+                bestm = min(bestm, time.perf_counter() - t0)
+            mesh_spine = {"devices": len(jax.devices()), "batched_3vert_s": round(bestm, 2)}
+            print(f"# mesh-sharded 3-vertebra synthesis: {bestm:.2f} s "
+                  f"on {len(jax.devices())} devices", file=sys.stderr)
+        except Exception as e:
+            print(f"# mesh inference bench failed: {e!r}"[:200], file=sys.stderr)
+
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             base = json.load(f)["value"]
@@ -237,6 +260,8 @@ def main():
     if spine_batched is not None:
         record["batched_3vert_synthesis_s"] = round(spine_batched, 2)
         record["batched_per_vertebra_s"] = round(spine_batched / 3, 2)
+    if mesh_spine is not None:
+        record["mesh_sharded_inference"] = mesh_spine
     print(json.dumps(record))
 
 

@@ -41,6 +41,15 @@ def main(argv=None):
     ns, rest = pre.parse_known_args(argv)
     axis = 2 if ns.axis == "sagittal" else 1
     opt = TestOptions().parse(rest)
+    # --mesh (base option, default 'data:-1' = every device): shard each
+    # pass's slice batch across chips (SURVEY.md §2.4). A 1-device mesh is
+    # the plain single-chip dispatch.
+    mesh = None
+    if len(jax.devices()) > 1:
+        from healthivert_tpu.parallel import make_mesh
+
+        mesh = make_mesh(opt.mesh)
+        print(f"sharding slice batches over mesh {dict(mesh.shape)}")
     cfg = Pix2PixConfig(ngf=16, image_size=opt.crop_size)
 
     state = init_state(jax.random.PRNGKey(opt.seed), cfg)
@@ -105,7 +114,7 @@ def main(argv=None):
         for idxs in by_shape.values():
             sub = synthesize_volumes(
                 state.g_params, state.g_sn, cfg, [vols[i] for i in idxs],
-                batch_size=ns.slice_batch, axis=axis,
+                batch_size=ns.slice_batch, axis=axis, mesh=mesh,
             )
             for i, r in zip(idxs, sub):
                 results[i] = r

@@ -60,11 +60,9 @@ def _band_inputs(ct, cam, x1, x2, min_x, max_x):
     return gather(ct), mask.astype(jnp.uint8), gather(cam)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "use_bf16", "use_pallas", "win")
-)
-def _forward(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, ratio, w0,
-             cfg: Pix2PixConfig, use_bf16=True, use_pallas=False, win=WINDOW):
+def _forward_impl(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x,
+                  ratio, w0, cfg: Pix2PixConfig, use_bf16=True,
+                  use_pallas=False, win=WINDOW):
     from healthivert_tpu.models.generator import Generator
 
     gen = Generator(cnum=cfg.ngf, use_pallas_attention=use_pallas)
@@ -95,6 +93,38 @@ def _forward(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, ratio
         lambda img, r0: jax.lax.dynamic_slice_in_dim(img, r0, win, axis=0)
     )
     return crop(fake_u8, w0), crop(seg_u8, w0), out.pred2_h.astype(jnp.float32) * MAXHEIGHT
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "use_bf16", "use_pallas", "win", "mesh")
+)
+def _forward(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, ratio, w0,
+             cfg: Pix2PixConfig, use_bf16=True, use_pallas=False, win=WINDOW,
+             mesh=None):
+    """Batched synthesis forward; with `mesh`, the slice batch is sharded
+    over the 'data' axis via shard_map (SURVEY.md §2.4: the z-slice dim is
+    this pipeline's sequence axis — the TPU-native answer to the reference's
+    serial slice loop, /root/reference/eval_3d_sagittal_twostage.py:201-234).
+
+    shard_map rather than bare GSPMD annotations because every op here is
+    per-sample (so batch sharding is exact) and the Pallas attention kernel
+    has no SPMD partitioning rule — inside shard_map it simply runs on each
+    shard's local batch."""
+    impl = functools.partial(
+        _forward_impl, cfg=cfg, use_bf16=use_bf16, use_pallas=use_pallas, win=win
+    )
+    if mesh is None:
+        return impl(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x,
+                    max_x, ratio, w0)
+    from jax.sharding import PartitionSpec as P
+
+    rep, b = P(), P("data")
+    return jax.shard_map(
+        impl, mesh=mesh,
+        in_specs=(rep, rep, b, rep, b, b, b, b, b, b, b),
+        out_specs=(b, b, b),
+        check_vma=False,
+    )(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, ratio, w0)
 
 
 def _slice_geometry(label_sl: np.ndarray, ct_sl: np.ndarray, vert_id: int):
@@ -164,15 +194,19 @@ def _reassemble(geo, x_stage2_win, fine_seg_win, pred_h, ct_sl, label_sl, vert_i
 
 
 def _run_pass(g_params, g_sn, cfg, jobs, ratios, cam_stack, job_zidx,
-              batch_size=32, use_bf16=True, use_pallas=None):
+              batch_size=32, use_bf16=True, use_pallas=None, mesh=None):
     """Batched forward over a list of geometry jobs; returns per-job outputs.
     cam_stack is a device-resident (NZ, H, W) u8 array (uploaded once per
-    vertebra); job_zidx maps each job to its stack row."""
+    vertebra); job_zidx maps each job to its stack row. With `mesh`, each
+    dispatch's slice batch is sharded across the mesh's 'data' axis."""
     if use_pallas is None:
         # the fused kernel is TPU-only (interpret mode is for tests)
         use_pallas = jax.default_backend() == "tpu"
     if not jobs:
         return []
+    if mesh is not None:
+        n_data = mesh.shape.get("data", 1)
+        batch_size = -(-batch_size // n_data) * n_data  # shardable chunks
     # window bucket for this pass: covers x1-20 .. x1+max(MAXHEIGHT, height)
     # for the tallest job (32-row buckets bound recompiles)
     need = 20 + max(MAXHEIGHT, max(j["height"] for j in jobs))
@@ -198,7 +232,8 @@ def _run_pass(g_params, g_sn, cfg, jobs, ratios, cam_stack, job_zidx,
         x2_, seg, ph = _forward(
             g_params, g_sn, jnp.asarray(ct), cam_stack, jnp.asarray(zidx),
             ints["x1"], ints["x2"], ints["min_x"], ints["max_x"],
-            jnp.asarray(rat), ints["w0"], cfg, use_bf16, use_pallas, win
+            jnp.asarray(rat), ints["w0"], cfg, use_bf16, use_pallas, win,
+            mesh=mesh,
         )
         x2_, seg, ph = np.asarray(x2_), np.asarray(seg), np.asarray(ph)
         for k in range(len(chunk)):
@@ -229,6 +264,7 @@ def synthesize_volumes(
     batch_size: int = 32,
     use_bf16: bool = True,
     axis: int = 2,
+    mesh=None,
 ):
     """Batched multi-vertebra synthesis: the three passes are shared across
     ALL volumes (vertebrae are independent — SURVEY.md §3.2), so a whole
@@ -313,7 +349,7 @@ def synthesize_volumes(
                 job_rows.append(prep["stack_row"][z])
         outs = _run_pass(
             g_params, g_sn, cfg, jobs, job_ratio, cam_stack, job_rows,
-            batch_size, use_bf16,
+            batch_size, use_bf16, mesh=mesh,
         )
         for geo, (prep, z, vid), (x2_, seg, ph) in zip(jobs, job_refs, outs):
             ct_new, lb_new, _ = _reassemble(
@@ -349,14 +385,16 @@ def synthesize_volume(
     batch_size: int = 32,
     use_bf16: bool = True,
     axis: int = 2,
+    mesh=None,
 ):
     """Synthesize the pseudo-healthy target vertebra across all central slices.
 
     axis=2 iterates sagittal slices (reference behavior); axis=1 iterates
     coronal slices (the 2.5D fusion's second view — the reference's coronal
     driver is not shipped; slices keep rows = the vertebra height axis).
+    With `mesh`, slice batches shard across the mesh's 'data' axis.
     Returns (ct_fake, label_fake) volumes (zeros outside the processed range)."""
     return synthesize_volumes(
         g_params, g_sn, cfg, [(ct_vol, label_vol, vert_id, cam_vol)],
-        batch_size=batch_size, use_bf16=use_bf16, axis=axis,
+        batch_size=batch_size, use_bf16=use_bf16, axis=axis, mesh=mesh,
     )[0]
