@@ -109,6 +109,9 @@ class FineGenerator(nn.Module):
     cnum: int = 16
     dtype: Any = None
     use_pallas_attention: bool = False
+    compute_offsets: bool = False  # argmax offset map for flow viz
+    # (inpaint_networks.py:368-374 computes it every forward; here it is
+    # opt-in so training never pays for it)
 
     @nn.compact
     def __call__(self, xin, x_stage1, mask, coarse_seg, slice_ratio):
@@ -144,6 +147,7 @@ class FineGenerator(nn.Module):
         att = contextual_attention(
             a, a, mask, ksize=3, stride=1, rate=2, softmax_scale=10.0, fuse=True,
             use_pallas=self.use_pallas_attention,
+            compute_offsets=self.compute_offsets,
         )
         a = g(c * 4, 3, 1, 1, name="pmconv9")(att.y)
         pm = g(c * 4, 3, 1, 1, name="pmconv10")(a)
@@ -180,6 +184,7 @@ class Generator(nn.Module):
     cnum: int = 16  # reference trains with ngf=16 (pix2pix_model.py:103)
     dtype: Any = None
     use_pallas_attention: bool = False
+    compute_offsets: bool = False
 
     @nn.compact
     def __call__(self, x, mask, cam, slice_ratio) -> GeneratorOut:
@@ -189,6 +194,7 @@ class Generator(nn.Module):
         fine_seg, x_stage2, offsets, pred2_h = FineGenerator(
             self.cnum, self.dtype, name="fine_generator",
             use_pallas_attention=self.use_pallas_attention,
+            compute_offsets=self.compute_offsets,
         )(x, x_stage1, mask, coarse_seg, slice_ratio)
         return GeneratorOut(
             coarse_seg, fine_seg, x_stage1, x_stage2, offsets, pred1_h, pred2_h

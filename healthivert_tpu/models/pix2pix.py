@@ -62,6 +62,15 @@ class Pix2PixConfig:
     image_size: int = 256
     compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
     pallas_attention: bool = False  # fused attention kernel (TPU only)
+    compute_offsets: bool = False  # attention argmax offsets (flow viz)
+    # MEASURED NEGATIVE on v5e (round 3): stacking D1/D2/D3 params and
+    # vmapping the three update chains + G-head forwards into single
+    # dispatches LOSES — 84.8 ms vs 79.2 @bs16, 218.4 vs 193.5 @bs64
+    # (experiments/train_prof.py). vmap-over-params lowers each conv to a
+    # batch-grouped conv, which the TPU conv emitter handles worse than
+    # three back-to-back plain convs. Kept as an opt-in variant, pinned
+    # equal to the sequential path by tests/test_train_step.py.
+    vmap_discriminators: bool = False
 
 
 @struct.dataclass
@@ -90,7 +99,8 @@ def build_modules(cfg: Pix2PixConfig):
     them — see _d_forward)."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     gen = Generator(
-        cnum=cfg.ngf, dtype=dtype, use_pallas_attention=cfg.pallas_attention
+        cnum=cfg.ngf, dtype=dtype, use_pallas_attention=cfg.pallas_attention,
+        compute_offsets=cfg.compute_offsets,
     )
     if cfg.net_d == "basic":
         d = NLayerDiscriminator(ndf=cfg.ndf, n_layers=3, norm=cfg.norm, dtype=dtype)
@@ -292,15 +302,46 @@ def train_step(
         params = optax.apply_updates(params, jax.tree_util.tree_map(lambda u: -lr * u, updates))
         return params, new_stats, opt_state, l_fake, l_real
 
-    d1_params, d1_stats, opt_d1, losses["D_fake_1"], losses["D_real_1"] = d_step(
-        state.d1_params, state.d1_stats, state.opt_d1, fake_b, full
-    )
-    d2_params, d2_stats, opt_d2, losses["D_fake_2"], losses["D_real_2"] = d_step(
-        state.d2_params, state.d2_stats, state.opt_d2, fine_seg_bin, batch["vert_seg"]
-    )
-    d3_params, d3_stats, opt_d3, losses["D_fake_3"], losses["D_real_3"] = d_step(
-        state.d3_params, state.d3_stats, state.opt_d3, fake_local, real_local
-    )
+    # D1/D2/D3 are the SAME architecture (pix2pix_model.py:114-119). The
+    # obvious TPU idea — stack their params and vmap the three update chains
+    # into one dispatch — is a MEASURED NEGATIVE (see Pix2PixConfig.
+    # vmap_discriminators): vmap-over-params lowers to batch-grouped convs.
+    # Default: the reference's three sequential updates.
+    if cfg.vmap_discriminators:
+        stack3 = functools.partial(
+            jax.tree_util.tree_map, lambda a, b, c: jnp.stack([a, b, c])
+        )
+        d_params3 = stack3(state.d1_params, state.d2_params, state.d3_params)
+        d_stats3 = stack3(state.d1_stats, state.d2_stats, state.d3_stats)
+        d_opt3 = stack3(state.opt_d1, state.opt_d2, state.opt_d3)
+        fakes3 = jnp.stack([fake_b, fine_seg_bin, fake_local])
+        reals3 = jnp.stack([full, batch["vert_seg"], real_local])
+        d_params3, d_stats3, d_opt3, l_fake3, l_real3 = jax.vmap(d_step)(
+            d_params3, d_stats3, d_opt3, fakes3, reals3
+        )
+
+        def unstack3(tree):
+            return tuple(
+                jax.tree_util.tree_map(lambda a: a[i], tree) for i in range(3)
+            )
+
+        d1_params, d2_params, d3_params = unstack3(d_params3)
+        d1_stats, d2_stats, d3_stats = unstack3(d_stats3)
+        opt_d1, opt_d2, opt_d3 = unstack3(d_opt3)
+        for i in range(3):
+            losses[f"D_fake_{i + 1}"] = l_fake3[i]
+            losses[f"D_real_{i + 1}"] = l_real3[i]
+    else:
+        d1_params, d1_stats, opt_d1, losses["D_fake_1"], losses["D_real_1"] = d_step(
+            state.d1_params, state.d1_stats, state.opt_d1, fake_b, full
+        )
+        d2_params, d2_stats, opt_d2, losses["D_fake_2"], losses["D_real_2"] = d_step(
+            state.d2_params, state.d2_stats, state.opt_d2, fine_seg_bin,
+            batch["vert_seg"],
+        )
+        d3_params, d3_stats, opt_d3, losses["D_fake_3"], losses["D_real_3"] = d_step(
+            state.d3_params, state.d3_stats, state.opt_d3, fake_local, real_local
+        )
 
     # --- generator update against the UPDATED discriminators: the loss head
     # runs on the saved forward outputs; its cotangents pull back through the
@@ -312,14 +353,24 @@ def train_step(
         )
         seg_bin = (fine_seg > 0.5).astype(fine_seg.dtype)
         f_local = batch["mask"] * fake_b * center
-        p1, _ = _d_forward(disc, d1_params, d1_stats, fake_b)
-        p2, _ = _d_forward(disc, d2_params, d2_stats, seg_bin)
-        p3, _ = _d_forward(disc, d3_params, d3_stats, f_local)
-        l_gan = (
-            gan_loss(p1, True, cfg.gan_mode)
-            + gan_loss(p2, True, cfg.gan_mode)
-            + gan_loss(p3, True, cfg.gan_mode)
-        ) / 6.0
+        if cfg.vmap_discriminators:
+            def d_head(p, st, x):
+                logits, _ = _d_forward(disc, p, st, x)
+                return gan_loss(logits, True, cfg.gan_mode)
+
+            l_gan3 = jax.vmap(d_head)(
+                d_params3, d_stats3, jnp.stack([fake_b, seg_bin, f_local])
+            )
+            l_gan = jnp.sum(l_gan3) / 6.0
+        else:
+            p1, _ = _d_forward(disc, d1_params, d1_stats, fake_b)
+            p2, _ = _d_forward(disc, d2_params, d2_stats, seg_bin)
+            p3, _ = _d_forward(disc, d3_params, d3_stats, f_local)
+            l_gan = (
+                gan_loss(p1, True, cfg.gan_mode)
+                + gan_loss(p2, True, cfg.gan_mode)
+                + gan_loss(p3, True, cfg.gan_mode)
+            ) / 6.0
 
         mask_count = jnp.count_nonzero(batch["mask"]).astype(jnp.float32)
         l_l1 = (

@@ -139,16 +139,31 @@ def contextual_attention(
     mpat = extract_patches(md, ksize, stride)  # (B, L, 3, 3, 1)
     mm = (jnp.mean(mpat, axis=(2, 3, 4)) == 0.0).astype(f.dtype)  # (B, L)
 
-    if use_pallas and fuse and not compute_offsets:
+    if use_pallas and fuse:
         # kernel v2: scores + fuse + softmax + paste + fold, all VMEM-resident,
         # computed directly from the feature maps (no patch tensors at all).
         # Differentiable: custom VJP with an analytic XLA backward.
-        from .attention_pallas import attention_v2_diff
+        if compute_offsets:
+            # inference/debug path (test.py gallery, reference
+            # inpaint_networks.py:368-374): the kernel's emitted probs
+            # residual feeds the argmax — no XLA-formulation fallback needed
+            from .attention_pallas import attention_v2
 
-        y = attention_v2_diff(
-            fd, bd, b, mm.astype(jnp.float32), hd, wd, softmax_scale
-        )
-        offsets = jnp.zeros((bs, hd, wd, 2), jnp.int32)
+            y, _s, probs, _n = attention_v2(
+                fd, bd, b, mm.astype(jnp.float32), hd, wd, softmax_scale,
+                emit_residuals=True,
+            )
+            off = jnp.argmax(probs, axis=1).astype(jnp.int32)  # (B, P)
+            offsets = jnp.stack([off // wd, off % wd], axis=-1).reshape(
+                bs, hd, wd, 2
+            )
+        else:
+            from .attention_pallas import attention_v2_diff
+
+            y = attention_v2_diff(
+                fd, bd, b, mm.astype(jnp.float32), hd, wd, softmax_scale
+            )
+            offsets = jnp.zeros((bs, hd, wd, 2), jnp.int32)
         return AttentionOut(y.astype(f.dtype), offsets)
 
     # similarity scores as one batched matmul: (B, P, k2C) x (B, k2C, L)

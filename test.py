@@ -31,7 +31,14 @@ def main(argv=None):
     opt.serial_batches = True
     opt.no_flip = True
 
-    cfg = Pix2PixConfig(ngf=16, ndf=opt.ndf, image_size=opt.crop_size)
+    # compute_offsets: the reference renders the attention offset flow as a
+    # standard visual every forward (inpaint_networks.py:368-374,389-408);
+    # here the argmax map rides the same pallas/XLA attention dispatch
+    cfg = Pix2PixConfig(
+        ngf=16, ndf=opt.ndf, image_size=opt.crop_size,
+        pallas_attention=jax.default_backend() == "tpu",
+        compute_offsets=True,
+    )
     dataset = create_dataset(opt)
     gen, _ = build_modules(cfg)
 
@@ -66,8 +73,15 @@ def main(argv=None):
         }
         import numpy as np
 
-        save_images(gallery, {k: np.asarray(v) for k, v in visuals.items()}, f"{i:04d}",
-                    width=opt.display_winsize)
+        visuals = {k: np.asarray(v) for k, v in visuals.items()}
+        from healthivert_tpu.ops.flow_viz import offsets_to_flow_image
+
+        # rate * 4 = 8x nearest upsample back to image size (reference
+        # inpaint_networks.py:405-407); host-side, on-demand only
+        visuals["offset_flow"] = offsets_to_flow_image(
+            np.asarray(f["gen"].offsets), upscale=8
+        )[0]
+        save_images(gallery, visuals, f"{i:04d}", width=opt.display_winsize)
         if i % 5 == 0:
             print(f"processing ({i:04d})-th image...")
     gallery.save()

@@ -90,6 +90,30 @@ def test_train_step_sharded_8dev():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_vmap_discriminators_matches_sequential():
+    """The opt-in stacked/vmapped D1-3 update variant (a measured TPU
+    negative, kept for the record — Pix2PixConfig.vmap_discriminators) must
+    produce the same step as the default sequential path."""
+    cfg_v = Pix2PixConfig(ngf=4, ndf=8, image_size=64, vmap_discriminators=True)
+    batch = _batch()
+    lr = jnp.float32(2e-4)
+    s_seq = init_state(jax.random.PRNGKey(0), CFG, batch_size=2)
+    s_vm = init_state(jax.random.PRNGKey(0), cfg_v, batch_size=2)
+    s_seq, l_seq = train_step(s_seq, dict(batch), lr, CFG)
+    s_vm, l_vm = train_step(s_vm, dict(batch), lr, cfg_v)
+    for k in l_seq:
+        np.testing.assert_allclose(
+            float(l_vm[k]), float(l_seq[k]), rtol=2e-5, atol=2e-5, err_msg=k
+        )
+    for name in ("g_params", "d1_params", "d2_params", "d3_params"):
+        a = jax.tree_util.tree_leaves(getattr(s_seq, name))
+        b = jax.tree_util.tree_leaves(getattr(s_vm, name))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(x), rtol=2e-5, atol=2e-5
+            )
+
+
 def test_linear_lr_scale():
     assert linear_lr_scale(1, 1, 200, 800) == 1.0
     assert linear_lr_scale(200, 1, 200, 800) == pytest.approx(1 - 1 / 801)
