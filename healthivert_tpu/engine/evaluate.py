@@ -49,16 +49,43 @@ def eval_batch(g_params, g_sn, batch, cfg: Pix2PixConfig):
     return dict(ssim=s, psnr=p, dice=d, iou=iou, diff_h=dh), f
 
 
-def evaluate_model(g_params, g_sn, dataset, cfg: Pix2PixConfig, out_dir=None, epoch=0):
+def evaluate_model(g_params, g_sn, dataset, cfg: Pix2PixConfig, out_dir=None,
+                   epoch=0, mesh=None):
     """Average metrics over the eval dataset; optionally save a PNG grid of
     [context, fake, real, coarse_seg, normal, fine_seg, vert_seg, cam] rows
-    (train.py:150-159)."""
+    (train.py:150-159).
+
+    With `mesh`, each eval batch is sharded over the 'data' axis (per-sample
+    metrics are batch-parallel, so sharding is exact); a trailing batch that
+    does not divide the mesh is padded by repetition and the padded entries
+    dropped from the sums."""
     sums: Dict[str, float] = {}
     count = 0
     last = None
+    n_dev = mesh.shape.get("data", 1) if mesh is not None else 1
+    if mesh is not None:
+        from healthivert_tpu.parallel import replicate_state
+
+        g_params, g_sn = replicate_state((g_params, g_sn), mesh)
     for batch in dataset:
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        metrics, f = eval_batch(g_params, g_sn, jb, cfg)
+        n = next(iter(batch.values())).shape[0]
+        if mesh is not None:
+            import numpy as _np
+
+            from healthivert_tpu.parallel import shard_batch
+
+            if n % n_dev:
+                pad = -(-n // n_dev) * n_dev - n
+                batch = {
+                    k: _np.concatenate([_np.asarray(v), _np.asarray(v)[-1:].repeat(pad, 0)])
+                    for k, v in batch.items()
+                }
+            jb = shard_batch({k: _np.asarray(v) for k, v in batch.items()}, mesh)
+            metrics, f = eval_batch(g_params, g_sn, jb, cfg)
+            metrics = {k: v[:n] for k, v in metrics.items()}
+        else:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            metrics, f = eval_batch(g_params, g_sn, jb, cfg)
         for k, v in metrics.items():
             sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
         count += next(iter(metrics.values())).shape[0]

@@ -224,6 +224,8 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
                 g_params, g_sn, eval_dataset, cfg,
                 out_dir=os.path.join(run_dir, "eval_imgs") if is_main else None,
                 epoch=epoch,
+                # single-process multi-chip: shard eval batches too
+                mesh=mesh if (not multiproc and mesh.devices.size > 1) else None,
             )
             if avg:
                 last_metric = -avg["ssim"]  # plateau policy input (minimized)
