@@ -102,6 +102,10 @@ def _train_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--vert_class", type=str, default="normal")
     parser.add_argument("--eval_freq", type=int, default=15,
                         help="run in-training eval every N epochs (train.py:224)")
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="stop after N optimization steps (bounded "
+                             "validation runs; default: run the full "
+                             "epoch schedule)")
     return parser
 
 

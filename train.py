@@ -24,7 +24,7 @@ def main(argv=None):
     opt_test.serial_batches = True
     opt_test.phase = "test"
     opt_test.isTrain = False
-    return run_training(opt, opt_test)
+    return run_training(opt, opt_test, max_steps=getattr(opt, "max_steps", None))
 
 
 if __name__ == "__main__":
