@@ -209,8 +209,13 @@ def main():
     mesh_spine = None
     if os.environ.get("BENCH_SPINE", "1") != "0" and len(jax.devices()) > 1:
         try:
+            from healthivert_tpu.data.synthetic import make_spine_volume
+            from healthivert_tpu.engine.infer3d import synthesize_volumes
             from healthivert_tpu.parallel import make_mesh
 
+            rng = np.random.default_rng(0)
+            ct, labels, cam_v = make_spine_volume(rng, fractured={20: 0.6})
+            vols = [(ct, labels, v, cam_v) for v in (19, 20, 21)]
             mesh = make_mesh("data:-1")
             synthesize_volumes(
                 state.g_params, state.g_sn, cfg, vols, mesh=mesh

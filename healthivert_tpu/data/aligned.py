@@ -99,11 +99,15 @@ class AlignedDataset:
         # multi-host data parallelism: every process derives the SAME epoch
         # order (shared seed) but loads only its own contiguous slice of each
         # global batch — disjoint data, no duplicated IO
-        # (parallel/distributed.process_batch_slice; SURVEY.md §2.4)
+        # (parallel/distributed.process_batch_slice; SURVEY.md §2.4).
+        # TRAIN datasets only: eval/test splits are consumed host-locally by
+        # every process (each computes the full metrics itself, keeping e.g.
+        # the plateau-LR input identical everywhere), so they must NOT be
+        # sliced — and their batch size need not divide the process count.
         self.local_slice = None
         import jax
 
-        if jax.process_count() > 1:
+        if jax.process_count() > 1 and getattr(opt, "isTrain", False):
             from healthivert_tpu.parallel.distributed import process_batch_slice
 
             if self.batch_size % jax.process_count() != 0:

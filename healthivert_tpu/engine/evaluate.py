@@ -64,6 +64,17 @@ def evaluate_model(g_params, g_sn, dataset, cfg: Pix2PixConfig, out_dir=None,
     last = None
     n_dev = mesh.shape.get("data", 1) if mesh is not None else 1
     if mesh is not None:
+        import jax
+
+        if jax.process_count() > 1:
+            # multi-process eval runs host-locally on every process (see
+            # train_loop); sharding a full local batch through the
+            # multi-process shard_batch branch would assemble a wrong
+            # global batch and turn this into a collective
+            raise ValueError(
+                "evaluate_model(mesh=...) is single-process only; "
+                "multi-process runs evaluate host-locally per process"
+            )
         from healthivert_tpu.parallel import replicate_state
 
         g_params, g_sn = replicate_state((g_params, g_sn), mesh)

@@ -35,18 +35,24 @@ from .evaluate import evaluate_model
 from .visualizer import HTMLGallery, Visualizer, save_images
 
 
-def _save_web_visuals(state, batch, cfg, run_dir, epoch, iters, visualizer=None):
+def _save_web_visuals(g_params, g_sn, batch, cfg, run_dir, epoch, iters,
+                      visualizer=None):
     """Training-time HTML gallery (reference visdom/HTML panels,
     train.py:200-203): context / fake / real / seg rows under {run}/web.
     Also mirrors the row to wandb when --use_wandb is on
-    (util/visualizer.py:173-188)."""
+    (util/visualizer.py:173-188).
+
+    Multi-process callers must pass HOST-LOCAL params (jax.device_get of the
+    replicated state): this runs on process 0 only, and a forward on the
+    globally-replicated params would be a collective the other processes
+    never join (observed as a Gloo rendezvous hang)."""
     import numpy as np
 
     from healthivert_tpu.models.pix2pix import build_modules, generator_forward
 
     gen, _ = build_modules(cfg)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
-    f = generator_forward(gen, state.g_params, state.g_sn, jb, cfg, update_sn=False)
+    f = generator_forward(gen, g_params, g_sn, jb, cfg, update_sn=False)
     gallery = HTMLGallery(os.path.join(run_dir, "web"), f"epoch {epoch}")
     visuals = {
         "real_A": np.asarray(jb["context"][0]),
@@ -193,7 +199,10 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
                     visualizer.log_scalars("train", host_losses, total_iters)
 
             if is_main and getattr(opt, "display_freq", 0) and total_iters % opt.display_freq < opt.batch_size:
-                _save_web_visuals(state, batch, cfg, run_dir, epoch, total_iters, visualizer)
+                gp, gs = state.g_params, state.g_sn
+                if multiproc:  # see _save_web_visuals docstring
+                    gp, gs = jax.device_get((gp, gs))
+                _save_web_visuals(gp, gs, batch, cfg, run_dir, epoch, total_iters, visualizer)
 
             # checkpoint saves run on EVERY process: orbax coordinates
             # internally (a cross-process sync barrier; only the primary

@@ -41,6 +41,9 @@ def main():
             "--checkpoints_dir", ckpt_dir, "--batch_size", "8",
             "--crop_size", "64", "--num_threads", "2", "--print_freq", "8",
             "--save_latest_freq", "1000000", "--seed", "0",
+            # display at step 1: regression for the multi-process
+            # _save_web_visuals deadlock (must run on host-local params)
+            "--display_freq", "8",
         ]
     )
     state, cfg = run_training(opt, None, max_steps=1)

@@ -124,6 +124,7 @@ def test_aligned_dataset_process_slicing_disjoint(tmp_path, monkeypatch):
         opt = types.SimpleNamespace(
             batch_size=4, seed=0, dataroot=str(tmp_path), phase="train",
             vert_class="normal", num_threads=2, serial_batches=False,
+            isTrain=True,
         )
         ds = AlignedDataset(opt)
         loaded = []
