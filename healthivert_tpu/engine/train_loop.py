@@ -68,6 +68,23 @@ def _save_web_visuals(g_params, g_sn, batch, cfg, run_dir, epoch, iters,
         visualizer.log_images(visuals, iters)
 
 
+def _print_networks(state, verbose=False, cfg=None):
+    """Parameter-count banner, format parity with the reference's
+    print_networks (/root/reference/models/base_model.py:214-230); verbose
+    additionally prints the flax module tabulation."""
+    print("---------- Networks initialized -------------")
+    nets = [
+        ("G", state.g_params), ("D_1", state.d1_params),
+        ("D_2", state.d2_params), ("D_3", state.d3_params),
+    ]
+    for name, params in nets:
+        n = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
+        if verbose:
+            print(jax.tree_util.tree_map(lambda l: l.shape, params))
+        print("[Network %s] Total number of parameters : %.3f M" % (name, n / 1e6))
+    print("-----------------------------------------------")
+
+
 def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
     """Main entry (train.py CLI). Returns the final TrainState."""
     cfg = Pix2PixConfig(
@@ -122,6 +139,8 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
     visualizer = Visualizer(opt) if is_main else None
 
     state = init_state(jax.random.PRNGKey(opt.seed), cfg)
+    if is_main:
+        _print_networks(state, verbose=getattr(opt, "verbose", False), cfg=cfg)
     if getattr(opt, "load_pth", None):
         # training resume loads G + sibling D_1..3 files when present
         # (load_networks parity, base_model.py:189-212)
