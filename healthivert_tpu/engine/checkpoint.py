@@ -50,6 +50,14 @@ def latest_exists(directory: str, tag: str = "latest") -> bool:
     return os.path.isdir(os.path.join(_abs(directory), str(tag)))
 
 
+def resolve_tag(opt) -> str:
+    """Checkpoint tag from CLI flags: `--load_iter N` (>0) selects the
+    `iter_N` checkpoint written by `--save_by_iter`, else `--epoch`
+    (load_networks parity, /root/reference/models/base_model.py:82-88)."""
+    load_iter = getattr(opt, "load_iter", 0) or 0
+    return f"iter_{load_iter}" if load_iter > 0 else str(opt.epoch)
+
+
 def restore_generator(state, directory: str, tag: str = "generator"):
     """Restore a generator-only checkpoint ({'g_params','g_sn'}, e.g. the
     shipped checkpoints/pretrained_synthetic/generator) into a TrainState."""

@@ -147,9 +147,10 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         state = ckpt.restore_full_pth(
             state, opt.load_pth, n_layers_d=getattr(opt, "n_layers_D", 3)
         )
-    if opt.continue_train and ckpt.latest_exists(run_dir, opt.epoch):
-        state = ckpt.restore_checkpoint(state, run_dir, opt.epoch)
-        print(f"resumed from {run_dir}/{opt.epoch} at step {int(state.step)}")
+    resume_tag = ckpt.resolve_tag(opt)  # --load_iter N > 0 picks iter_N
+    if opt.continue_train and ckpt.latest_exists(run_dir, resume_tag):
+        state = ckpt.restore_checkpoint(state, run_dir, resume_tag)
+        print(f"resumed from {run_dir}/{resume_tag} at step {int(state.step)}")
     state = replicate_state(state, mesh)
 
     total_iters = 0

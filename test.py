@@ -44,16 +44,17 @@ def main(argv=None):
 
     state = init_state(jax.random.PRNGKey(opt.seed), cfg)
     run_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    tag = ckpt.resolve_tag(opt)  # --load_iter N > 0 picks iter_N
     if getattr(opt, "load_pth", None):
         state = ckpt.restore_generator_pth(state, opt.load_pth)
-    elif ckpt.latest_exists(run_dir, opt.epoch):
-        state = ckpt.restore_checkpoint(state, run_dir, opt.epoch)
-        print(f"loaded checkpoint {run_dir}/{opt.epoch}")
+    elif ckpt.latest_exists(run_dir, tag):
+        state = ckpt.restore_checkpoint(state, run_dir, tag)
+        print(f"loaded checkpoint {run_dir}/{tag}")
     elif ckpt.latest_exists(run_dir, "generator"):
         state = ckpt.restore_generator(state, run_dir)
         print(f"loaded generator-only checkpoint {run_dir}/generator")
     else:
-        print(f"warning: no checkpoint at {run_dir}/{opt.epoch}; using init weights")
+        print(f"warning: no checkpoint at {run_dir}/{tag}; using init weights")
 
     web_dir = os.path.join(opt.results_dir, opt.name, f"{opt.phase}_{opt.epoch}")
     gallery = HTMLGallery(web_dir, f"Experiment = {opt.name}, Phase = {opt.phase}, Epoch = {opt.epoch}")

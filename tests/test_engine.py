@@ -27,6 +27,26 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+def test_resolve_tag_load_iter(tmp_path):
+    """--load_iter N > 0 selects the iter_N checkpoint, else --epoch
+    (load_networks parity, base_model.py:82-88)."""
+    import types
+
+    assert ckpt.resolve_tag(types.SimpleNamespace(epoch="latest", load_iter=0)) == "latest"
+    assert ckpt.resolve_tag(types.SimpleNamespace(epoch="40", load_iter=0)) == "40"
+    assert ckpt.resolve_tag(types.SimpleNamespace(epoch="latest", load_iter=3200)) == "iter_3200"
+    state = init_state(jax.random.PRNGKey(0), CFG)
+    ckpt.save_checkpoint(state, str(tmp_path), "iter_3200")
+    assert ckpt.latest_exists(str(tmp_path), "iter_3200")
+    restored = ckpt.restore_checkpoint(
+        init_state(jax.random.PRNGKey(5), CFG), str(tmp_path), "iter_3200"
+    )
+    a = jax.tree_util.tree_leaves(state.g_params)
+    b = jax.tree_util.tree_leaves(restored.g_params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_synthesize_volume_shapes_and_content(rng):
     ct, labels, cam = make_spine_volume(
         rng, shape=(64, 64, 16), vert_ids=(19, 20, 21), vert_height=12, gap=5,
