@@ -72,7 +72,7 @@ def _run_oracle(tmp_path_factory, h, hole):
     ratio = torch.from_numpy(rng.random((b,)).astype(np.float32))
 
     with torch.no_grad():
-        coarse_seg, fine_seg, x_stage1, x_stage2, _flow, p1, p2 = ref_g(x, mask, cam, ratio)
+        coarse_seg, fine_seg, x_stage1, x_stage2, flow, p1, p2 = ref_g(x, mask, cam, ratio)
     ref_out = {
         "coarse_seg": coarse_seg.numpy(),
         "fine_seg": fine_seg.numpy(),
@@ -80,12 +80,16 @@ def _run_oracle(tmp_path_factory, h, hole):
         "x_stage2": x_stage2.numpy(),
         "pred1_h": p1.numpy().reshape(-1),
         "pred2_h": p2.numpy().reshape(-1),
+        "offset_flow": flow.numpy(),
     }
 
     pth = str(tmp_path_factory.mktemp("oracle") / "net_G.pth")
     torch.save(ref_g.state_dict(), pth)
 
-    gen = Generator(cnum=cnum)
+    # compute_offsets mirrors the reference (it renders offset_flow every
+    # forward); the flag only adds the argmax branch — the other outputs'
+    # math is untouched
+    gen = Generator(cnum=cnum, compute_offsets=True)
     xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
     mj = jnp.asarray(np.transpose(mask.numpy(), (0, 2, 3, 1)))
     cj = jnp.asarray(np.transpose(cam.numpy(), (0, 2, 3, 1)))
@@ -101,6 +105,11 @@ def _run_oracle(tmp_path_factory, h, hole):
         "pred1_h": np.asarray(out.pred1_h),
         "pred2_h": np.asarray(out.pred2_h),
     }
+    from healthivert_tpu.ops.flow_viz import offsets_to_flow_image
+
+    ours["offset_flow"] = np.transpose(
+        offsets_to_flow_image(np.asarray(out.offsets), upscale=8), (0, 3, 1, 2)
+    )
     return ref_out, ours, n_loaded
 
 
@@ -131,6 +140,20 @@ def test_state_dict_fully_consumed(oracle):
 def test_forward_parity_vs_reference_torch(oracle, key, atol):
     ref_out, ours, _ = oracle
     np.testing.assert_allclose(ours[key], ref_out[key], atol=atol, err_msg=key)
+
+
+def test_offset_flow_parity_vs_reference_torch(oracle):
+    """The resurrected offsets output (round-3): our argmax offsets rendered
+    through ops/flow_viz must reproduce the reference's own offset_flow
+    visual (inpaint_networks.py:368-408) pixel-for-pixel up to argmax ties
+    and uint8 color rounding."""
+    ref_out, ours, _ = oracle
+    a, b = ref_out["offset_flow"], ours["offset_flow"]
+    assert a.shape == b.shape
+    # near-total agreement: ties in the argmax (probs equal to ~1e-6) may
+    # flip isolated 8x8 blocks
+    close = np.abs(a - b) <= (2.0 / 255.0)
+    assert close.mean() > 0.99, f"flow agreement {close.mean():.4f}"
 
 
 def test_forward_parity_128_bottom_hole(tmp_path_factory):
