@@ -106,6 +106,11 @@ def _train_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="stop after N optimization steps (bounded "
                              "validation runs; default: run the full "
                              "epoch schedule)")
+    parser.add_argument("--profile_steps", type=str, default=None,
+                        help="'START,STOP' step numbers bracketing a "
+                             "jax.profiler trace written to "
+                             "{checkpoints_dir}/{name}/profile "
+                             "(SURVEY.md §5: tracing wired into the loop)")
     return parser
 
 

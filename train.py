@@ -24,7 +24,15 @@ def main(argv=None):
     opt_test.serial_batches = True
     opt_test.phase = "test"
     opt_test.isTrain = False
-    return run_training(opt, opt_test, max_steps=getattr(opt, "max_steps", None))
+    profile_steps = None
+    if getattr(opt, "profile_steps", None):
+        a, _, b = opt.profile_steps.partition(",")
+        profile_steps = (int(a), int(b or int(a) + 10))
+    return run_training(
+        opt, opt_test,
+        max_steps=getattr(opt, "max_steps", None),
+        profile_steps=profile_steps,
+    )
 
 
 if __name__ == "__main__":
