@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Data-parallel scaling model, from the compiled HLO itself.
+
+Rather than hand-waving "DP scales linearly", this compiles the FULL
+production train step on an 8-device mesh and inventories every collective
+XLA/GSPMD inserted (op kind, shape, bytes). The per-step communication
+volume + v5e ICI bandwidth then give the expected multi-chip efficiency
+(scaling-book style: comm time vs compute time).
+
+Run on CPU (the partitioning is identical to TPU):
+  JAX_PLATFORMS=cpu python -u experiments/scaling_model.py
+"""
+
+import os as _os
+import re
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+_os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+_os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+
+import jax.numpy as jnp
+import numpy as np
+
+from healthivert_tpu.data.synthetic import SyntheticDataset
+from healthivert_tpu.models.pix2pix import Pix2PixConfig, init_state, train_step
+from healthivert_tpu.parallel import make_mesh, replicate_state, shard_batch
+
+DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u8": 1, "pred": 1, "f64": 8}
+
+
+def collective_inventory(hlo_text: str):
+    """Parse collective instructions out of HLO text: kind -> (count, bytes)."""
+    inv = {}
+    pat = re.compile(
+        r"(\w[\w\.\-]*) = ((?:\([^)]*\)|\S+)) (all-reduce|all-gather|"
+        r"reduce-scatter|collective-permute|all-to-all)\b"
+    )
+    for m in pat.finditer(hlo_text):
+        shape_s, kind = m.group(2), m.group(3)
+        total = 0
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape_s):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * DTYPE_BYTES.get(dt, 4)
+        c, b = inv.get(kind, (0, 0))
+        inv[kind] = (c + 1, b + total)
+    return inv
+
+
+def main():
+    cfg = Pix2PixConfig(ngf=16, ndf=64, image_size=256)
+    mesh = make_mesh("data:8")
+    ds = SyntheticDataset(batch_size=8, seed=0)
+    batch = shard_batch(ds.sample_batch(), mesh)
+    state = replicate_state(init_state(jax.random.PRNGKey(0), cfg, 8), mesh)
+
+    lowered = train_step.lower(state, batch, jnp.float32(2e-4), cfg)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    inv = collective_inventory(hlo)
+    print("collectives in the data:8 production train step:")
+    total_bytes = 0
+    for kind, (count, byts) in sorted(inv.items()):
+        print(f"  {kind:20s} x{count:3d}  {byts/1e6:8.2f} MB")
+        total_bytes += byts
+    n_params = sum(
+        int(np.prod(l.shape))
+        for leaf in (state.g_params, state.d1_params, state.d2_params, state.d3_params)
+        for l in jax.tree_util.tree_leaves(leaf)
+    )
+    print(f"total collective payload: {total_bytes/1e6:.2f} MB/step "
+          f"(params: {n_params/1e6:.2f} M -> grad all-reduce floor "
+          f"{n_params*4/1e6:.2f} MB)")
+    # v5e: ~186 GB/s aggregate ICI per chip (45 GB/s x 4 links, 2D torus);
+    # ring all-reduce moves ~2x payload. Compute/step measured 79.5 ms @bs16
+    # (so ~2x that at global bs128 on 8 chips with bs16/chip).
+    ici = 186e9
+    t_comm = 2 * total_bytes / ici
+    print(f"model: comm ~{t_comm*1e3:.2f} ms/step over ICI vs ~79.5 ms compute "
+          f"-> DP efficiency ~{100*79.5/(79.5 + t_comm*1e3):.1f}% at 8 chips")
+
+
+if __name__ == "__main__":
+    main()
