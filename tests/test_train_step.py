@@ -90,6 +90,34 @@ def test_train_step_sharded_8dev():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.parametrize(
+    "net_d,norm,gan_mode",
+    [
+        ("pixel", "instance", "wgangp"),
+        ("n_layers", "none", "lsgan"),
+        ("basic", "instance", "wgangp"),
+    ],
+)
+def test_train_step_config_matrix(net_d, norm, gan_mode):
+    """Full train step at config-matrix corners no oracle covers (define_D
+    dispatch x norm x GANLoss variants): one step, finite losses, params
+    move."""
+    cfg = Pix2PixConfig(
+        ngf=4, ndf=8, image_size=64, net_d=net_d, norm=norm,
+        gan_mode=gan_mode, n_layers_d=2,
+    )
+    state = init_state(jax.random.PRNGKey(0), cfg, batch_size=2)
+    g_before = np.concatenate(
+        [np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(state.g_params)]
+    )
+    state, losses = train_step(state, _batch(), jnp.float32(2e-4), cfg)
+    assert all(np.isfinite(float(v)) for v in losses.values()), losses
+    g_after = np.concatenate(
+        [np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(state.g_params)]
+    )
+    assert not np.array_equal(g_before, g_after)
+
+
 def test_vmap_discriminators_matches_sequential():
     """The opt-in stacked/vmapped D1-3 update variant (a measured TPU
     negative, kept for the record — Pix2PixConfig.vmap_discriminators) must
