@@ -96,6 +96,7 @@ def test_train_step_sharded_8dev():
         ("pixel", "instance", "wgangp"),
         ("n_layers", "none", "lsgan"),
         ("basic", "instance", "wgangp"),
+        ("seg", "batch", "vanilla"),
     ],
 )
 def test_train_step_config_matrix(net_d, norm, gan_mode):
