@@ -75,7 +75,7 @@ def evaluate_model(g_params, g_sn, dataset, cfg: Pix2PixConfig, out_dir=None,
                 "evaluate_model(mesh=...) is single-process only; "
                 "multi-process runs evaluate host-locally per process"
             )
-        from healthivert_tpu.parallel import replicate_state
+        from healthivert_tpu.parallel import pad_batch, replicate_state, shard_batch
 
         g_params, g_sn = replicate_state((g_params, g_sn), mesh)
     for batch in dataset:
@@ -83,15 +83,11 @@ def evaluate_model(g_params, g_sn, dataset, cfg: Pix2PixConfig, out_dir=None,
         if mesh is not None:
             import numpy as _np
 
-            from healthivert_tpu.parallel import shard_batch
-
-            if n % n_dev:
-                pad = -(-n // n_dev) * n_dev - n
-                batch = {
-                    k: _np.concatenate([_np.asarray(v), _np.asarray(v)[-1:].repeat(pad, 0)])
-                    for k, v in batch.items()
-                }
-            jb = shard_batch({k: _np.asarray(v) for k, v in batch.items()}, mesh)
+            batch = pad_batch(
+                {k: _np.asarray(v) for k, v in batch.items()},
+                -(-n // n_dev) * n_dev,
+            )
+            jb = shard_batch(batch, mesh)
             metrics, f = eval_batch(g_params, g_sn, jb, cfg)
             metrics = {k: v[:n] for k, v in metrics.items()}
         else:

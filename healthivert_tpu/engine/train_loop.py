@@ -26,6 +26,7 @@ from healthivert_tpu.models.pix2pix import (
 from healthivert_tpu.parallel import (
     ensure_initialized,
     make_mesh,
+    pad_batch,
     process_batch_slice,
     replicate_state,
     shard_batch,
@@ -68,7 +69,7 @@ def _save_web_visuals(g_params, g_sn, batch, cfg, run_dir, epoch, iters,
         visualizer.log_images(visuals, iters)
 
 
-def _print_networks(state, verbose=False, cfg=None):
+def _print_networks(state, verbose=False):
     """Parameter-count banner, format parity with the reference's
     print_networks (/root/reference/models/base_model.py:214-230); verbose
     additionally prints the flax module tabulation."""
@@ -140,7 +141,7 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
 
     state = init_state(jax.random.PRNGKey(opt.seed), cfg)
     if is_main:
-        _print_networks(state, verbose=getattr(opt, "verbose", False), cfg=cfg)
+        _print_networks(state, verbose=getattr(opt, "verbose", False))
     if getattr(opt, "load_pth", None):
         # training resume loads G + sibling D_1..3 files when present
         # (load_networks parity, base_model.py:189-212)
@@ -157,39 +158,30 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
     done = False
     schedule = LRSchedule(opt)
     last_metric = None
+    local = process_batch_slice(opt.batch_size)
+
+    def _prep(b):
+        # trailing partial batches (dataset drop_last=False parity) are
+        # padded back to the static size by repetition: no recompile,
+        # mesh-divisible. One step per epoch weights the repeats double —
+        # the reference instead runs a genuinely smaller step there.
+        n = next(iter(b.values())).shape[0]
+        if multiproc and n > local_bs:
+            # dataset yielded the GLOBAL batch on every process (e.g. the
+            # synthetic dataset): keep only this process's disjoint slice
+            b = pad_batch(b, opt.batch_size)
+            b = {k: v[local] for k, v in b.items()}
+        else:
+            # dataset is process-aware (AlignedDataset) or single-process
+            b = pad_batch(b, local_bs)
+        return b, shard_batch(b, mesh, global_batch=opt.batch_size)
+
     for epoch in range(opt.epoch_count, opt.n_epochs + opt.n_epochs_decay + 1):
         epoch_start = time.time()
         lr = opt.lr * schedule.scale(epoch, last_metric)
         print(f"learning rate {lr:.7f} for epoch {epoch}")
         epoch_iter = 0
         iter_data_time = time.time()
-        def _pad_to(b, size):
-            # the dataset yields the trailing partial batch (reference
-            # DataLoader drop_last=False); pad it back to the static batch
-            # size by repeating examples so the compiled step keeps its
-            # shapes (no recompile, mesh-divisible). One step per epoch
-            # weights the repeated examples double — the reference instead
-            # runs a genuinely smaller step there.
-            n = next(iter(b.values())).shape[0]
-            if n == size:
-                return b
-            reps = -(-size // n)
-            return {k: np.concatenate([v] * reps)[:size] for k, v in b.items()}
-
-        local = process_batch_slice(opt.batch_size)
-
-        def _prep(b):
-            n = next(iter(b.values())).shape[0]
-            if multiproc and n > local_bs:
-                # dataset yielded the GLOBAL batch on every process (e.g. the
-                # synthetic dataset): keep only this process's disjoint slice
-                b = _pad_to(b, opt.batch_size)
-                b = {k: v[local] for k, v in b.items()}
-            else:
-                # dataset is process-aware (AlignedDataset) or single-process
-                b = _pad_to(b, local_bs)
-            return b, shard_batch(b, mesh, global_batch=opt.batch_size)
-
         batches = prefetch_to_device(dataset, _prep, depth=2)
         for batch, sb in batches:
             iter_start = time.time()

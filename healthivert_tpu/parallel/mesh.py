@@ -42,6 +42,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def pad_batch(batch: dict, size: int) -> dict:
+    """Pad a batch dict's leading dim up to `size` by cyclic repetition.
+
+    Used for trailing partial batches that must keep the compiled step's
+    static shapes / divide a mesh axis; callers either accept the duplicate
+    weighting (training: one step per epoch) or drop the padded rows from
+    their reductions (eval)."""
+    n = next(iter(batch.values())).shape[0]
+    if n == size:
+        return batch
+    reps = -(-size // n)
+    return {k: np.concatenate([np.asarray(v)] * reps)[:size] for k, v in batch.items()}
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data", global_batch=None) -> dict:
     """Place a host batch dict on the mesh, sharded along the batch dim.
 

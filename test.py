@@ -10,11 +10,13 @@ import sys
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from healthivert_tpu.config.options import TestOptions
 from healthivert_tpu.data import create_dataset
 from healthivert_tpu.engine import checkpoint as ckpt
 from healthivert_tpu.engine.visualizer import HTMLGallery, save_images
+from healthivert_tpu.ops.flow_viz import offsets_to_flow_image
 from healthivert_tpu.models.pix2pix import (
     Pix2PixConfig,
     generator_forward,
@@ -72,11 +74,7 @@ def main(argv=None):
             "real_B_mask": jb["vert_seg"][0],
             "coarse_seg": f["coarse_seg_bin"][0],
         }
-        import numpy as np
-
         visuals = {k: np.asarray(v) for k, v in visuals.items()}
-        from healthivert_tpu.ops.flow_viz import offsets_to_flow_image
-
         # rate * 4 = 8x nearest upsample back to image size (reference
         # inpaint_networks.py:405-407); host-side, on-demand only
         visuals["offset_flow"] = offsets_to_flow_image(
