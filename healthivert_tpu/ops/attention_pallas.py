@@ -50,6 +50,14 @@ def _cols(t):
     return jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
 
 
+def _roll_any(t, shift, axis, interpret):
+    """_roll for any dtype: Mosaic's rotate only handles 32-bit vectors, so
+    narrow dtypes round-trip through f32 (exact for bf16)."""
+    if t.dtype.itemsize == 4:
+        return _roll(t, shift, axis, interpret)
+    return _roll(t.astype(jnp.float32), shift, axis, interpret).astype(t.dtype)
+
+
 def _col_shift(t, k, interpret):
     """out[:, j] = t[:, j + k] with zero fill (lane shift via roll + mask)."""
     m = t.shape[1]
@@ -272,7 +280,7 @@ def _shift2d(v, sy, sx):
     return v
 
 
-def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res,
+def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res, c_real,
                          fd_hbm, bd_hbm, bph_hbm, mm_ref, out_hbm,
                          *rest):
     if emit_res:
@@ -296,21 +304,40 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res,
     fdv = fd_s[:]  # (hd, wd, C)
     bdv = bd_s[:]
 
-    # --- scores: S[l, p] = sum_o <bd[l+o-1], fd[p+o-1]>, offset-accumulated ---
+    # --- scores: S[l, p] = sum_o <bd[l+o-1], fd[p+o-1]>, offset-accumulated.
+    # The channel (lane) dim is zero-padded to 128 for the DMAs, so a plain
+    # per-offset matmul burns half the MXU K tile on structural zeros; when
+    # the real channels fit in half the lanes, TWO offsets pack into one
+    # matmul (the second rolled into the zero lanes — the contraction then
+    # sums both offsets' products, which is exactly the accumulation). 9
+    # matmuls become 5. ---
     c = fdv.shape[-1]
+    packed = 2 * c_real <= c
     s_acc = jnp.zeros((num_l, num_l), jnp.float32)
     nrm2 = jnp.zeros((hd, wd, 1), jnp.float32)
     bd2 = jnp.sum(bdv.astype(jnp.float32) * bdv.astype(jnp.float32), axis=-1, keepdims=True)
-    for dy in range(3):
-        for dx in range(3):
-            f_o = _shift2d(fdv, dy - 1, dx - 1).reshape(num_l, c)
-            b_o = _shift2d(bdv, dy - 1, dx - 1).reshape(num_l, c)
-            s_acc = s_acc + jax.lax.dot_general(
-                b_o, f_o,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    offs = [(dy - 1, dx - 1) for dy in range(3) for dx in range(3)]
+    for o in offs:
+        nrm2 = nrm2 + _shift2d(bd2, o[0], o[1])
+    groups = (
+        [offs[i : i + 2] for i in range(0, 8, 2)] + [offs[8:]]
+        if packed else [[o] for o in offs]
+    )
+    for g in groups:
+        f_o = _shift2d(fdv, g[0][0], g[0][1]).reshape(num_l, c)
+        b_o = _shift2d(bdv, g[0][0], g[0][1]).reshape(num_l, c)
+        if len(g) == 2:
+            f_o = f_o + _roll_any(
+                _shift2d(fdv, g[1][0], g[1][1]).reshape(num_l, c), c_real, 1, interpret
             )
-            nrm2 = nrm2 + _shift2d(bd2, dy - 1, dx - 1)
+            b_o = b_o + _roll_any(
+                _shift2d(bdv, g[1][0], g[1][1]).reshape(num_l, c), c_real, 1, interpret
+            )
+        s_acc = s_acc + jax.lax.dot_general(
+            b_o, f_o,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     # per-l patch-norm row scale (v1's wnorm = w / max(||w||, 1e-4))
     nrm_raw = jnp.sqrt(nrm2.reshape(num_l, 1))
     nrm = jnp.maximum(nrm_raw, 1e-4)
@@ -388,26 +415,44 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res,
     if emit_res:
         p_out[0] = s_ref[:]
 
-    # --- paste into 2x2 output phases; phase planes DMA'd out one by one ---
+    # --- paste into 2x2 output phases; phase planes DMA'd out one by one.
+    # Same pair packing as the scores (N side this time): the two column
+    # offsets of a row share one matmul, their results landing in disjoint
+    # lane halves (garbage stays in the pad lanes the wrapper slices off).
+    # 16 matmuls become 8. ---
     cp_p.wait()
     for r in range(2):
+        a_vals = [0, 1] if r == 0 else [-1, 0]
         for s_ in range(2):
+            bb_vals = [0, 1] if s_ == 0 else [-1, 0]
             acc = jnp.zeros((hd, wd, c), jnp.float32)
-            for dy in range(4):
-                if (dy - 1) % 2 != r:
-                    continue
-                a = (dy - 1 - r) // 2
-                for dx in range(4):
-                    if (dx - 1) % 2 != s_:
-                        continue
-                    bb = (dx - 1 - s_) // 2
-                    raw_o = _shift2d(bph_s[r, s_], a, bb).reshape(num_l, c)
+            for a in a_vals:
+                if packed:
+                    pair = _shift2d(bph_s[r, s_], a, bb_vals[0]).reshape(num_l, c)
+                    pair = pair + _roll_any(
+                        _shift2d(bph_s[r, s_], a, bb_vals[1]).reshape(num_l, c),
+                        c_real, 1, interpret,
+                    )
                     out_o = jax.lax.dot_general(
-                        s_ref[:], raw_o,
+                        s_ref[:], pair,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # (P, C)
-                    acc = acc + _shift2d(out_o.reshape(hd, wd, c), -a, -bb)
+                    )  # (P, C): lanes [0, c_real) = bb_vals[0]'s result,
+                    #            lanes [c_real, 2c_real) = bb_vals[1]'s
+                    acc = acc + _shift2d(out_o.reshape(hd, wd, c), -a, -bb_vals[0])
+                    acc = acc + _shift2d(
+                        _roll(out_o, c - c_real, 1, interpret).reshape(hd, wd, c),
+                        -a, -bb_vals[1],
+                    )
+                else:
+                    for bb in bb_vals:
+                        raw_o = _shift2d(bph_s[r, s_], a, bb).reshape(num_l, c)
+                        out_o = jax.lax.dot_general(
+                            s_ref[:], raw_o,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (P, C)
+                        acc = acc + _shift2d(out_o.reshape(hd, wd, c), -a, -bb)
             acc_s[:] = (acc / 4.0).astype(acc_s.dtype)
             cp_o = pltpu.make_async_copy(acc_s, out_hbm.at[b, r, s_], sems.at[3])
             cp_o.start()
@@ -444,7 +489,8 @@ def attention_v2(
     # 2x2 phase split of the full-res background: phases[r, s][i, j] = b[2i+r, 2j+s]
     bph = b_full.reshape(bs, hd, 2, wd, 2, c).transpose(0, 2, 4, 1, 3, 5)
     kernel = functools.partial(
-        _attention_v2_kernel, hd, wd, scale, r_tile, interpret, emit_residuals
+        _attention_v2_kernel, hd, wd, scale, r_tile, interpret, emit_residuals,
+        c_in,
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = [jax.ShapeDtypeStruct((bs, 2, 2, hd, wd, c), fd.dtype)]
@@ -539,7 +585,7 @@ def _fuse_ops(wd):
     return fuse_fwd, fuse_adj
 
 
-def _attention_v2_bwd_kernel(hd, wd, scale, r_tile, interpret,
+def _attention_v2_bwd_kernel(hd, wd, scale, r_tile, interpret, c_real,
                              fd_ref, bd_ref, bph_ref, dyph_ref, p_ref,
                              s_in_ref, n_ref, mm_ref,
                              dfd_ref, dbd_ref, dbph_ref, a_ref, b_ref):
@@ -562,23 +608,32 @@ def _attention_v2_bwd_kernel(hd, wd, scale, r_tile, interpret,
     pv = p_ref[0]  # (L, P) f32 gated softmax probs
     probs_mt = pv.astype(mt)
 
-    # --- paste adjoints: dprobs + dbph (16 offset matmuls, as the fwd) ---
+    # --- paste adjoints: dprobs + dbph. Same offset-pair lane packing as
+    # the forward (the channel lanes are zero-padded to 128): the two column
+    # offsets of a row share one matmul — K-packed for dprobs (the pair
+    # contraction IS the accumulation), N-packed for draw (results land in
+    # disjoint lane halves; garbage stays in the discarded pad lanes).
+    # 16+16 matmuls become 8+8. ---
+    packed = 2 * c_real <= c
     dprobs = jnp.zeros((num_l, num_l), f32)
     for r in range(2):
+        a_vals = [0, 1] if r == 0 else [-1, 0]
         for s_ in range(2):
+            bb_vals = [0, 1] if s_ == 0 else [-1, 0]
             dacc = (dyph_ref[0, r, s_].astype(f32) / 4.0).astype(mt)
             dbp = jnp.zeros((hd, wd, c), f32)
-            for dy in range(4):
-                if (dy - 1) % 2 != r:
-                    continue
-                a = (dy - 1 - r) // 2
-                for dx in range(4):
-                    if (dx - 1) % 2 != s_:
-                        continue
-                    bb = (dx - 1 - s_) // 2
-                    # fwd: acc += shift2d(out_o, -a, -bb); out_o = P^T raw_o
-                    dout_o = _shift2d(dacc, a, bb).reshape(num_l, c)
-                    raw_o = _shift2d(bph_ref[0, r, s_], a, bb).reshape(num_l, c)
+            for a in a_vals:
+                if packed:
+                    dout_o = _shift2d(dacc, a, bb_vals[0]).reshape(num_l, c)
+                    dout_o = dout_o + _roll_any(
+                        _shift2d(dacc, a, bb_vals[1]).reshape(num_l, c),
+                        c_real, 1, interpret,
+                    )
+                    raw_o = _shift2d(bph_ref[0, r, s_], a, bb_vals[0]).reshape(num_l, c)
+                    raw_o = raw_o + _roll_any(
+                        _shift2d(bph_ref[0, r, s_], a, bb_vals[1]).reshape(num_l, c),
+                        c_real, 1, interpret,
+                    )
                     dprobs = dprobs + jax.lax.dot_general(
                         raw_o, dout_o, dimension_numbers=dn,
                         preferred_element_type=f32,
@@ -587,8 +642,27 @@ def _attention_v2_bwd_kernel(hd, wd, scale, r_tile, interpret,
                         probs_mt, dout_o,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=f32,
-                    )  # (L, c)
-                    dbp = dbp + _shift2d(draw.reshape(hd, wd, c), -a, -bb)
+                    )  # (L, c): lane halves = the two column offsets
+                    dbp = dbp + _shift2d(draw.reshape(hd, wd, c), -a, -bb_vals[0])
+                    dbp = dbp + _shift2d(
+                        _roll(draw, c - c_real, 1, interpret).reshape(hd, wd, c),
+                        -a, -bb_vals[1],
+                    )
+                else:
+                    for bb in bb_vals:
+                        # fwd: acc += shift2d(out_o, -a, -bb); out_o = P^T raw_o
+                        dout_o = _shift2d(dacc, a, bb).reshape(num_l, c)
+                        raw_o = _shift2d(bph_ref[0, r, s_], a, bb).reshape(num_l, c)
+                        dprobs = dprobs + jax.lax.dot_general(
+                            raw_o, dout_o, dimension_numbers=dn,
+                            preferred_element_type=f32,
+                        )
+                        draw = jax.lax.dot_general(
+                            probs_mt, dout_o,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=f32,
+                        )  # (L, c)
+                        dbp = dbp + _shift2d(draw.reshape(hd, wd, c), -a, -bb)
             dbph_ref[0, r, s_] = dbp.astype(dbph_ref.dtype)
 
     # --- softmax (+row gate) backward, all VMEM-resident ---
@@ -653,20 +727,37 @@ def _attention_v2_bwd_kernel(hd, wd, scale, r_tile, interpret,
             acc_n = acc_n + _shift2d(dn_grid, -(dy - 1), -(dx - 1))
     dfd = jnp.zeros((hd, wd, c), f32)
     dbd = 2.0 * bdv.astype(f32) * acc_n
-    for dy in range(3):
-        for dx in range(3):
-            f_o = _shift2d(fdv, dy - 1, dx - 1).reshape(num_l, c)
-            b_o = _shift2d(bdv, dy - 1, dx - 1).reshape(num_l, c)
-            dF = jax.lax.dot_general(
-                ds0_mt, b_o, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # (P, c)
-            dB = jax.lax.dot_general(
-                ds0_mt, f_o, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # (L, c)
-            dfd = dfd + _shift2d(dF.reshape(hd, wd, c), -(dy - 1), -(dx - 1))
-            dbd = dbd + _shift2d(dB.reshape(hd, wd, c), -(dy - 1), -(dx - 1))
+    # N-packed offset pairs, as the forward's score stage: 9+9 matmuls -> 5+5
+    offs = [(dy - 1, dx - 1) for dy in range(3) for dx in range(3)]
+    groups = (
+        [offs[i : i + 2] for i in range(0, 8, 2)] + [offs[8:]]
+        if packed else [[o] for o in offs]
+    )
+    for g in groups:
+        f_o = _shift2d(fdv, g[0][0], g[0][1]).reshape(num_l, c)
+        b_o = _shift2d(bdv, g[0][0], g[0][1]).reshape(num_l, c)
+        if len(g) == 2:
+            f_o = f_o + _roll_any(
+                _shift2d(fdv, g[1][0], g[1][1]).reshape(num_l, c), c_real, 1, interpret
+            )
+            b_o = b_o + _roll_any(
+                _shift2d(bdv, g[1][0], g[1][1]).reshape(num_l, c), c_real, 1, interpret
+            )
+        dF = jax.lax.dot_general(
+            ds0_mt, b_o, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (P, c)
+        dB = jax.lax.dot_general(
+            ds0_mt, f_o, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (L, c)
+        dfd = dfd + _shift2d(dF.reshape(hd, wd, c), -g[0][0], -g[0][1])
+        dbd = dbd + _shift2d(dB.reshape(hd, wd, c), -g[0][0], -g[0][1])
+        if len(g) == 2:
+            dF2 = _roll(dF, c - c_real, 1, interpret).reshape(hd, wd, c)
+            dB2 = _roll(dB, c - c_real, 1, interpret).reshape(hd, wd, c)
+            dfd = dfd + _shift2d(dF2, -g[1][0], -g[1][1])
+            dbd = dbd + _shift2d(dB2, -g[1][0], -g[1][1])
     dfd_ref[0] = dfd.astype(dfd_ref.dtype)
     dbd_ref[0] = dbd.astype(dbd_ref.dtype)
 
@@ -692,7 +783,7 @@ def attention_v2_bwd(fd, bd, b_full, dy, probs, s, nrm_raw, mm, hd, wd,
     bph = b_full.reshape(bs, hd, 2, wd, 2, c).transpose(0, 2, 4, 1, 3, 5)
     dyph = dy.reshape(bs, hd, 2, wd, 2, c).transpose(0, 2, 4, 1, 3, 5)
     kernel = functools.partial(
-        _attention_v2_bwd_kernel, hd, wd, scale, r_tile, interpret
+        _attention_v2_bwd_kernel, hd, wd, scale, r_tile, interpret, c_in
     )
     big = pl.BlockSpec((1, num_l, num_l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     feat = pl.BlockSpec((1, hd, wd, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)

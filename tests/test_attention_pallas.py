@@ -160,4 +160,7 @@ def test_pallas_top_band(rng):
     mask[:, 0:40] = 1.0
     a = contextual_attention(f, f, jnp.asarray(mask), use_pallas=False)
     b = contextual_attention(f, f, jnp.asarray(mask), use_pallas=True)
-    np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-5)
+    # 2e-5: the kernel's packed score matmuls (two offsets per contraction)
+    # accumulate in a different f32 order than the XLA formulation's 9
+    # separate dots; the scale-10 softmax amplifies that last-bit rounding
+    np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=2e-5)
