@@ -151,6 +151,42 @@ def test_pallas_bottom_band(rng):
     np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-5)
 
 
+def test_pallas_wide_channels(rng):
+    """c_real=96: 2*96 > 128 lanes, so the offset-pair packing disables and
+    the kernel takes the one-offset-per-matmul branch. Keeps the unpacked
+    path covered now that every production/toy config (C<=64) packs."""
+    f = jnp.asarray(rng.standard_normal((1, 16, 16, 96)).astype(np.float32))
+    mask = np.zeros((1, 64, 64, 1), np.float32)
+    mask[:, 40:64] = 1.0  # bottom band: soft queries in the wrap rows too
+    a = contextual_attention(f, f, jnp.asarray(mask), use_pallas=False)
+    b = contextual_attention(f, f, jnp.asarray(mask), use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-5)
+
+
+def test_bwd_kernel_wide_channels(rng):
+    """The adjoint kernel's unpacked branch (c_real=96 > 64) vs the XLA
+    backward on shared residuals."""
+    from healthivert_tpu.ops.attention_pallas import _att_bwd_xla
+
+    hd = wd = 8
+    f = jnp.asarray(rng.standard_normal((1, hd, wd, 96)).astype(np.float32))
+    b_full = jnp.asarray(
+        rng.standard_normal((1, 2 * hd, 2 * wd, 96)).astype(np.float32)
+    )
+    mm = jnp.asarray((rng.random((1, hd * wd)) > 0.3).astype(np.float32))
+    y, s, probs, nrm = ap.attention_v2(
+        f, f, b_full, mm, hd, wd, 10.0, emit_residuals=True
+    )
+    dy = jnp.asarray(rng.standard_normal(y.shape).astype(np.float32))
+    res = (f, f, b_full, mm, s, probs, nrm)
+    want = _att_bwd_xla(hd, wd, 10.0, res, dy)
+    got = ap.attention_v2_bwd(f, f, b_full, dy, probs, s, nrm, mm, hd, wd, 10.0)
+    for g, w, name in zip(got, want[:3], ("dfd", "dbd", "db_full")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-4, err_msg=name
+        )
+
+
 def test_pallas_top_band(rng):
     """Hole band at the image TOP: soft queries in the first query-grid rows
     exercise the sigma_minus column wrap (the symmetric counterpart of
