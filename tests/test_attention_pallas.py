@@ -163,6 +163,19 @@ def test_pallas_wide_channels(rng):
     np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-5)
 
 
+def test_pallas_production_channels(rng):
+    """c_real=64 — the PRODUCTION channel count (ngf=16 at H/4) and the
+    packing boundary: 2*64 == 128 fills the lanes exactly, so the packed
+    matmuls have no zero-pad garbage lanes and the pair roll is by 64
+    (vs 124 in the toy-channel tests)."""
+    f = jnp.asarray(rng.standard_normal((1, 16, 16, 64)).astype(np.float32))
+    mask = np.zeros((1, 64, 64, 1), np.float32)
+    mask[:, 20:44] = 1.0
+    a = contextual_attention(f, f, jnp.asarray(mask), use_pallas=False)
+    b = contextual_attention(f, f, jnp.asarray(mask), use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=2e-5)
+
+
 def test_bwd_kernel_wide_channels(rng):
     """The adjoint kernel's unpacked branch (c_real=96 > 64) vs the XLA
     backward on shared residuals."""
