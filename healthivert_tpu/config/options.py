@@ -67,6 +67,10 @@ def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize the generator forward in the backward "
+                             "(jax.checkpoint): fits larger train batches for ~one "
+                             "extra G forward per step")
     parser.add_argument("--cam_dir", type=str, default=None,
                         help="folder of HGAM attention heatmap NIfTIs; omit for uniform CAM")
     parser.add_argument("--synthetic_cache", type=int, default=0,

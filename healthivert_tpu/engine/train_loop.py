@@ -105,6 +105,7 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         # pallas path wins training at every batch size (fwd+bwd 10.5 vs
         # 10.7 ms @bs16, 33.9 vs 44.4 @bs64 against the XLA formulation).
         pallas_attention=jax.default_backend() == "tpu",
+        remat=getattr(opt, "remat", False),
     )
     # multi-host: init jax.distributed when the standard env vars ask for it
     # (the reference's parallelism is single-process DataParallel,

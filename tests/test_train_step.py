@@ -143,6 +143,30 @@ def test_vmap_discriminators_matches_sequential():
             )
 
 
+def test_remat_matches_baseline():
+    """cfg.remat (jax.checkpoint around the retained-vjp generator forward)
+    recomputes instead of storing activations — same math, so every loss and
+    every updated parameter must match the non-remat step."""
+    cfg_r = Pix2PixConfig(ngf=4, ndf=8, image_size=64, remat=True)
+    batch = _batch()
+    lr = jnp.float32(2e-4)
+    s_base = init_state(jax.random.PRNGKey(0), CFG, batch_size=2)
+    s_rem = init_state(jax.random.PRNGKey(0), cfg_r, batch_size=2)
+    s_base, l_base = train_step(s_base, dict(batch), lr, CFG)
+    s_rem, l_rem = train_step(s_rem, dict(batch), lr, cfg_r)
+    for k in l_base:
+        np.testing.assert_allclose(
+            float(l_rem[k]), float(l_base[k]), rtol=1e-6, atol=1e-6, err_msg=k
+        )
+    for name in ("g_params", "d1_params", "d2_params", "d3_params"):
+        a = jax.tree_util.tree_leaves(getattr(s_base, name))
+        b = jax.tree_util.tree_leaves(getattr(s_rem, name))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(x), rtol=1e-6, atol=1e-6
+            )
+
+
 def test_linear_lr_scale():
     assert linear_lr_scale(1, 1, 200, 800) == 1.0
     assert linear_lr_scale(200, 1, 200, 800) == pytest.approx(1 - 1 / 801)
