@@ -441,7 +441,15 @@ class LRSchedule:
     def scale(self, epoch: int, metric: float | None = None) -> float:
         o = self.opt
         if self.policy == "linear":
-            return linear_lr_scale(epoch, o.epoch_count, o.n_epochs, o.n_epochs_decay)
+            # scale() receives the ABSOLUTE epoch. The reference's LambdaLR
+            # counter restarts at 0 on every (re)launch, and lambda_rule adds
+            # opt.epoch_count to recover the absolute epoch (networks.py:52-56)
+            # — so convert back to the per-launch counter before applying the
+            # rule. Passing the absolute epoch straight in double-counts
+            # epoch_count on --continue_train resumes and drives the LR
+            # negative (Adam then ASCENDS; seen in anger at epoch_count=801).
+            rel = epoch - o.epoch_count + 1
+            return linear_lr_scale(rel, o.epoch_count, o.n_epochs, o.n_epochs_decay)
         if self.policy == "step":
             return 0.1 ** (epoch // o.lr_decay_iters)
         if self.policy == "cosine":

@@ -182,6 +182,19 @@ def test_lr_schedule_policies():
     lin = LRSchedule(types.SimpleNamespace(lr_policy="linear", **base))
     assert lin.scale(1) == 1.0 and lin.scale(20) < 0.1
 
+    # --continue_train resume: the schedule is a function of the ABSOLUTE
+    # epoch only — a late epoch_count must reproduce the fresh-run value
+    # exactly (the reference's restarted LambdaLR counter + lambda_rule's
+    # +epoch_count compose to the same thing). Regression: the old code
+    # double-counted epoch_count and went NEGATIVE here.
+    resumed = LRSchedule(
+        types.SimpleNamespace(lr_policy="linear", epoch_count=15, n_epochs=10,
+                              n_epochs_decay=10, lr_decay_iters=5)
+    )
+    for e in (15, 17, 20):
+        assert resumed.scale(e) == pytest.approx(lin.scale(e))
+        assert resumed.scale(e) >= 0.0
+
     step = LRSchedule(types.SimpleNamespace(lr_policy="step", **base))
     assert step.scale(4) == 1.0 and step.scale(5) == pytest.approx(0.1)
 
