@@ -429,7 +429,15 @@ def linear_lr_scale(epoch: int, epoch_count: int, n_epochs: int, n_epochs_decay:
 
 class LRSchedule:
     """Epoch-level LR multiplier, parity with get_scheduler
-    (networks.py:39-65): linear | step | plateau | cosine."""
+    (networks.py:39-65): linear | step | plateau | cosine.
+
+    scale() takes the ABSOLUTE epoch (the train loop's counter). Deliberate
+    deviation for step/cosine: the reference's torch schedulers count from 0
+    on every launch, so a --continue_train resume restarts their decay from
+    scratch; here they are functions of the absolute epoch, making resumed
+    runs continue the fresh-run schedule exactly. linear compensates for the
+    reference's counter restart itself (lambda_rule's +epoch_count), so it is
+    resume-continuous in both implementations."""
 
     def __init__(self, opt):
         self.policy = getattr(opt, "lr_policy", "linear")
