@@ -91,6 +91,7 @@ def main():
     # --- training throughput (BASELINE.json config 2: batch-16 training step,
     # full two-stage + attention + EEM losses, bf16 compute) ---
     train_sps = None
+    train_sps_b128 = None
     try:
         from healthivert_tpu.models.pix2pix import train_step
 
@@ -98,21 +99,31 @@ def main():
             ngf=16, image_size=256, compute_dtype="bfloat16",
             pallas_attention=jax.default_backend() == "tpu",
         )
-        tstate = init_state(jax.random.PRNGKey(0), tcfg, batch_size=16)
-        tds = SyntheticDataset(batch_size=16, seed=1, n_volumes=2)
-        tbatch = {k: jnp.asarray(v) for k, v in tds.sample_batch().items()}
         lr = jnp.float32(2e-4)
-        tstate, losses = train_step(tstate, tbatch, lr, tcfg)  # compile
-        float(losses["G_maskL1"])
-        iters = 10
-        train_sps = 0.0
-        for _rep in range(2):  # best-of-2: tunneled backend jitter
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                tstate, losses = train_step(tstate, tbatch, lr, tcfg)
+        # bs16 = the reference's README training batch (apples-to-apples);
+        # bs128 = the measured single-chip throughput sweet spot
+        # (experiments/train_batch_sweep.py: 481 sl/s vs 457 @bs256,
+        # 391 @bs192 — the same 128-lane batch resonance as inference)
+        for tbs in (16, 128):
+            tstate = init_state(jax.random.PRNGKey(0), tcfg, batch_size=tbs)
+            tds = SyntheticDataset(batch_size=tbs, seed=1, n_volumes=2)
+            tbatch = {k: jnp.asarray(v) for k, v in tds.sample_batch().items()}
+            tstate, losses = train_step(tstate, tbatch, lr, tcfg)  # compile
             float(losses["G_maskL1"])
-            train_sps = max(train_sps, 16 * iters / (time.perf_counter() - t0))
-        print(f"# train step (batch 16, bf16): {train_sps:.1f} slices/sec", file=sys.stderr)
+            iters = 10
+            sps = 0.0
+            for _rep in range(2):  # best-of-2: tunneled backend jitter
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    tstate, losses = train_step(tstate, tbatch, lr, tcfg)
+                float(losses["G_maskL1"])
+                sps = max(sps, tbs * iters / (time.perf_counter() - t0))
+            print(f"# train step (batch {tbs}, bf16): {sps:.1f} slices/sec",
+                  file=sys.stderr)
+            if tbs == 16:
+                train_sps = sps
+            else:
+                train_sps_b128 = sps
     except Exception as e:  # never lose the headline metric to an aux one
         print(f"# train bench failed: {e!r}", file=sys.stderr)
 
@@ -258,6 +269,8 @@ def main():
     }
     if train_sps is not None:
         record["train_slices_per_sec_b16"] = round(train_sps, 2)
+    if train_sps_b128 is not None:
+        record["train_slices_per_sec_b128"] = round(train_sps_b128, 2)
     if grad_parity is not None:
         record["attn_grad_parity"] = grad_parity
     if spine_latency is not None:
