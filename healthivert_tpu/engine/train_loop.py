@@ -153,10 +153,16 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
     if opt.continue_train and ckpt.latest_exists(run_dir, resume_tag):
         state = ckpt.restore_checkpoint(state, run_dir, resume_tag)
         print(f"resumed from {run_dir}/{resume_tag} at step {int(state.step)}")
+    # host-side mirror of state.step (resume step + iterations). Used for the
+    # profiler bracket and --max_steps so the loop never needs a blocking
+    # int(state.step) device fetch per iteration (~0.5-1 s RTT each on the
+    # tunneled backend).
+    host_step = int(state.step)
     state = replicate_state(state, mesh)
 
     total_iters = 0
     done = False
+    profiling = False
     schedule = LRSchedule(opt)
     last_metric = None
     local = process_batch_slice(opt.batch_size)
@@ -189,12 +195,17 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
             t_data = iter_start - iter_data_time
             total_iters += opt.batch_size
             epoch_iter += opt.batch_size
-            if profile_steps and int(state.step) == profile_steps[0]:
+            if profile_steps and host_step == profile_steps[0]:
                 jax.profiler.start_trace(os.path.join(run_dir, "profile"))
+                profiling = True
             state, losses = train_step(state, sb, jnp.float32(lr), cfg)
-            if profile_steps and int(state.step) == profile_steps[1]:
-                jax.tree_util.tree_map(lambda a: a.block_until_ready(), losses)
+            host_step += 1
+            if profiling and host_step >= profile_steps[1]:
+                # value fetch, not block_until_ready: the latter returns
+                # early on the tunneled backend (CLAUDE.md)
+                float(jax.tree_util.tree_leaves(losses)[0])
                 jax.profiler.stop_trace()
+                profiling = False
                 print(f"profiler trace written to {run_dir}/profile")
 
             if total_iters % opt.print_freq < opt.batch_size:
@@ -224,7 +235,7 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
                 tag = f"iter_{total_iters}" if opt.save_by_iter else "latest"
                 ckpt.save_checkpoint(state, run_dir, tag)
             iter_data_time = time.time()
-            if max_steps is not None and int(state.step) >= max_steps:
+            if max_steps is not None and host_step >= max_steps:
                 done = True
                 break
 
@@ -263,4 +274,9 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         )
         if done:
             break
+    if profiling:
+        # STOP landed past the last step (short run / --max_steps / resume):
+        # flush the trace instead of silently losing it
+        jax.profiler.stop_trace()
+        print(f"profiler trace (truncated at run end) written to {run_dir}/profile")
     return state, cfg

@@ -280,6 +280,27 @@ def _shift2d(v, sy, sx):
     return v
 
 
+def _pack2(v, o1, o2, num_l, c, c_real, interpret):
+    """Offset-pair lane packing: v shifted by (dy, dx) offset o1, flattened
+    to (num_l, c), plus v shifted by o2 rolled into the zero pad lanes
+    [c_real, 2*c_real) — ONE MXU operand carrying two offsets. K-contracting
+    a pair against a pair sums both offsets' products (the accumulation);
+    N-side, the two results land in disjoint lane halves (see _unpack_hi).
+    Requires 2*c_real <= c (the `packed` predicate at every call site)."""
+    x = _shift2d(v, o1[0], o1[1]).reshape(num_l, c)
+    return x + _roll_any(
+        _shift2d(v, o2[0], o2[1]).reshape(num_l, c), c_real, 1, interpret
+    )
+
+
+def _unpack_hi(x, c, c_real, interpret):
+    """Inverse of _pack2's lane roll for N-packed matmul results: brings the
+    second offset's slab [c_real, 2*c_real) down to the real lanes
+    [0, c_real). Lanes >= c_real become garbage that the caller's final
+    channel slice discards."""
+    return _roll(x, c - c_real, 1, interpret)
+
+
 def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res, c_real,
                          fd_hbm, bd_hbm, bph_hbm, mm_ref, out_hbm,
                          *rest):
@@ -324,15 +345,12 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res, c_real,
         if packed else [[o] for o in offs]
     )
     for g in groups:
-        f_o = _shift2d(fdv, g[0][0], g[0][1]).reshape(num_l, c)
-        b_o = _shift2d(bdv, g[0][0], g[0][1]).reshape(num_l, c)
         if len(g) == 2:
-            f_o = f_o + _roll_any(
-                _shift2d(fdv, g[1][0], g[1][1]).reshape(num_l, c), c_real, 1, interpret
-            )
-            b_o = b_o + _roll_any(
-                _shift2d(bdv, g[1][0], g[1][1]).reshape(num_l, c), c_real, 1, interpret
-            )
+            f_o = _pack2(fdv, g[0], g[1], num_l, c, c_real, interpret)
+            b_o = _pack2(bdv, g[0], g[1], num_l, c, c_real, interpret)
+        else:
+            f_o = _shift2d(fdv, g[0][0], g[0][1]).reshape(num_l, c)
+            b_o = _shift2d(bdv, g[0][0], g[0][1]).reshape(num_l, c)
         s_acc = s_acc + jax.lax.dot_general(
             b_o, f_o,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -428,10 +446,9 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res, c_real,
             acc = jnp.zeros((hd, wd, c), jnp.float32)
             for a in a_vals:
                 if packed:
-                    pair = _shift2d(bph_s[r, s_], a, bb_vals[0]).reshape(num_l, c)
-                    pair = pair + _roll_any(
-                        _shift2d(bph_s[r, s_], a, bb_vals[1]).reshape(num_l, c),
-                        c_real, 1, interpret,
+                    pair = _pack2(
+                        bph_s[r, s_], (a, bb_vals[0]), (a, bb_vals[1]),
+                        num_l, c, c_real, interpret,
                     )
                     out_o = jax.lax.dot_general(
                         s_ref[:], pair,
@@ -441,7 +458,7 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res, c_real,
                     #            lanes [c_real, 2c_real) = bb_vals[1]'s
                     acc = acc + _shift2d(out_o.reshape(hd, wd, c), -a, -bb_vals[0])
                     acc = acc + _shift2d(
-                        _roll(out_o, c - c_real, 1, interpret).reshape(hd, wd, c),
+                        _unpack_hi(out_o, c, c_real, interpret).reshape(hd, wd, c),
                         -a, -bb_vals[1],
                     )
                 else:
@@ -624,15 +641,13 @@ def _attention_v2_bwd_kernel(hd, wd, scale, r_tile, interpret, c_real,
             dbp = jnp.zeros((hd, wd, c), f32)
             for a in a_vals:
                 if packed:
-                    dout_o = _shift2d(dacc, a, bb_vals[0]).reshape(num_l, c)
-                    dout_o = dout_o + _roll_any(
-                        _shift2d(dacc, a, bb_vals[1]).reshape(num_l, c),
-                        c_real, 1, interpret,
+                    dout_o = _pack2(
+                        dacc, (a, bb_vals[0]), (a, bb_vals[1]),
+                        num_l, c, c_real, interpret,
                     )
-                    raw_o = _shift2d(bph_ref[0, r, s_], a, bb_vals[0]).reshape(num_l, c)
-                    raw_o = raw_o + _roll_any(
-                        _shift2d(bph_ref[0, r, s_], a, bb_vals[1]).reshape(num_l, c),
-                        c_real, 1, interpret,
+                    raw_o = _pack2(
+                        bph_ref[0, r, s_], (a, bb_vals[0]), (a, bb_vals[1]),
+                        num_l, c, c_real, interpret,
                     )
                     dprobs = dprobs + jax.lax.dot_general(
                         raw_o, dout_o, dimension_numbers=dn,
@@ -645,7 +660,7 @@ def _attention_v2_bwd_kernel(hd, wd, scale, r_tile, interpret, c_real,
                     )  # (L, c): lane halves = the two column offsets
                     dbp = dbp + _shift2d(draw.reshape(hd, wd, c), -a, -bb_vals[0])
                     dbp = dbp + _shift2d(
-                        _roll(draw, c - c_real, 1, interpret).reshape(hd, wd, c),
+                        _unpack_hi(draw, c, c_real, interpret).reshape(hd, wd, c),
                         -a, -bb_vals[1],
                     )
                 else:
@@ -734,15 +749,12 @@ def _attention_v2_bwd_kernel(hd, wd, scale, r_tile, interpret, c_real,
         if packed else [[o] for o in offs]
     )
     for g in groups:
-        f_o = _shift2d(fdv, g[0][0], g[0][1]).reshape(num_l, c)
-        b_o = _shift2d(bdv, g[0][0], g[0][1]).reshape(num_l, c)
         if len(g) == 2:
-            f_o = f_o + _roll_any(
-                _shift2d(fdv, g[1][0], g[1][1]).reshape(num_l, c), c_real, 1, interpret
-            )
-            b_o = b_o + _roll_any(
-                _shift2d(bdv, g[1][0], g[1][1]).reshape(num_l, c), c_real, 1, interpret
-            )
+            f_o = _pack2(fdv, g[0], g[1], num_l, c, c_real, interpret)
+            b_o = _pack2(bdv, g[0], g[1], num_l, c, c_real, interpret)
+        else:
+            f_o = _shift2d(fdv, g[0][0], g[0][1]).reshape(num_l, c)
+            b_o = _shift2d(bdv, g[0][0], g[0][1]).reshape(num_l, c)
         dF = jax.lax.dot_general(
             ds0_mt, b_o, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=f32,
@@ -754,8 +766,8 @@ def _attention_v2_bwd_kernel(hd, wd, scale, r_tile, interpret, c_real,
         dfd = dfd + _shift2d(dF.reshape(hd, wd, c), -g[0][0], -g[0][1])
         dbd = dbd + _shift2d(dB.reshape(hd, wd, c), -g[0][0], -g[0][1])
         if len(g) == 2:
-            dF2 = _roll(dF, c - c_real, 1, interpret).reshape(hd, wd, c)
-            dB2 = _roll(dB, c - c_real, 1, interpret).reshape(hd, wd, c)
+            dF2 = _unpack_hi(dF, c, c_real, interpret).reshape(hd, wd, c)
+            dB2 = _unpack_hi(dB, c, c_real, interpret).reshape(hd, wd, c)
             dfd = dfd + _shift2d(dF2, -g[1][0], -g[1][1])
             dbd = dbd + _shift2d(dB2, -g[1][0], -g[1][1])
     dfd_ref[0] = dfd.astype(dfd_ref.dtype)

@@ -59,6 +59,10 @@ def main(argv=None):
         print(f"warning: no checkpoint at {run_dir}/{tag}; using init weights")
 
     web_dir = os.path.join(opt.results_dir, opt.name, f"{opt.phase}_{opt.epoch}")
+    if getattr(opt, "load_iter", 0) > 0:
+        # keep galleries from different --load_iter runs distinct
+        # (/root/reference/test.py:61-62)
+        web_dir = f"{web_dir}_iter{opt.load_iter}"
     gallery = HTMLGallery(web_dir, f"Experiment = {opt.name}, Phase = {opt.phase}, Epoch = {opt.epoch}")
 
     for i, batch in enumerate(dataset):

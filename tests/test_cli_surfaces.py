@@ -72,6 +72,51 @@ def test_test_cli_gallery_includes_offset_flow(tmp_path):
     assert len(np.unique(arr.reshape(-1, 3), axis=0)) > 4
 
 
+def test_profile_steps_bracket(tmp_path):
+    """--profile_steps writes a trace without device-fetch step polling; a
+    STOP past the run end flushes (truncated) instead of losing the trace."""
+    import train
+
+    train.main([
+        "--dataset_mode", "synthetic", "--name", "prof", "--model", "pix2pix",
+        "--batch_size", "8", "--crop_size", "64", "--n_epochs", "1",
+        "--n_epochs_decay", "0", "--ndf", "8", "--max_steps", "2",
+        "--profile_steps", "0,100",  # STOP lands past max_steps
+        "--checkpoints_dir", str(tmp_path), "--print_freq", "64",
+        "--save_epoch_freq", "99", "--eval_freq", "99",
+    ])
+    prof = tmp_path / "prof" / "profile"
+    assert prof.exists() and any(prof.rglob("*")), "trace not flushed"
+
+
+def test_profile_steps_validation(tmp_path):
+    import pytest as _pytest
+
+    import train
+
+    for bad in ("100,100", "5,2", ",100", "x,2"):
+        with _pytest.raises(SystemExit):
+            train.main([
+                "--dataset_mode", "synthetic", "--name", "profbad",
+                "--batch_size", "4", "--crop_size", "64",
+                "--profile_steps", bad, "--checkpoints_dir", str(tmp_path),
+            ])
+
+
+def test_test_cli_load_iter_web_dir(tmp_path):
+    """--load_iter N galleries get their own _iterN directory
+    (/root/reference/test.py:61-62) instead of overwriting test_latest."""
+    import test as test_cli
+
+    test_cli.main([
+        "--dataset_mode", "synthetic", "--name", "itdir", "--crop_size", "64",
+        "--ndf", "8", "--checkpoints_dir", str(tmp_path / "ck"),
+        "--results_dir", str(tmp_path / "res"), "--num_test", "1",
+        "--load_iter", "7",
+    ])
+    assert (tmp_path / "res" / "itdir" / "test_latest_iter7" / "index.html").exists()
+
+
 def test_train_mesh_indivisible_batch(tmp_path):
     import pytest as _pytest
 

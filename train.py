@@ -27,7 +27,18 @@ def main(argv=None):
     profile_steps = None
     if getattr(opt, "profile_steps", None):
         a, _, b = opt.profile_steps.partition(",")
-        profile_steps = (int(a), int(b or int(a) + 10))
+        try:
+            start = int(a)
+            stop = int(b) if b else start + 10
+        except ValueError:
+            raise SystemExit(
+                f"--profile_steps expects START[,STOP] integers, got {opt.profile_steps!r}"
+            )
+        if start < 0 or stop <= start:
+            raise SystemExit(
+                f"--profile_steps needs 0 <= START < STOP, got {start},{stop}"
+            )
+        profile_steps = (start, stop)
     return run_training(
         opt, opt_test,
         max_steps=getattr(opt, "max_steps", None),
