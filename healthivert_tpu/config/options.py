@@ -6,8 +6,9 @@ and the resolved-options dump to {checkpoints_dir}/{name}/{phase}_opt.txt.
 
 TPU-native additions (all optional): --mesh (device mesh spec, e.g. "data:8"
 or "data:4,model:2"), --compute_dtype (bfloat16|float32), --seed,
---donate_state. The torch-only --gpu_ids flag is accepted and ignored so
-reference launch commands keep working.
+--donate_state. --gpu_ids keeps its reference semantics where they make
+sense on TPU: -1 selects the CPU backend (base_options.py:131-139); any
+id >= 0 keeps the default platform (there is no per-device id concept).
 """
 
 from __future__ import annotations
@@ -22,7 +23,8 @@ def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="path to straightened dataset (CT/ label/ subdirs)")
     parser.add_argument("--name", type=str, default="experiment_name")
     parser.add_argument("--gpu_ids", type=str, default="0",
-                        help="ignored (TPU build); kept for CLI compatibility")
+                        help="-1 = run on CPU (reference semantics); ids >= 0 "
+                             "keep the default accelerator platform")
     parser.add_argument("--checkpoints_dir", type=str, default="./checkpoints")
     # model parameters
     parser.add_argument("--model", type=str, default="pix2pix")
@@ -176,11 +178,40 @@ class BaseOptions:
                 f.write(message + "\n")
         return message
 
+    @staticmethod
+    def _apply_device_options(opt) -> None:
+        """Backend selection + persistent compile cache, before first use.
+
+        --gpu_ids -1 selects the CPU backend, mirroring the reference's torch
+        semantics (base_options.py:131-139: ids < 0 are dropped, no ids ->
+        CPU) — the escape hatch when no TPU is reachable. Positive ids keep
+        the default platform (the TPU build has no per-device id concept).
+        Also enables JAX's persistent compilation cache (unless the user
+        already configured one) so repeat CLI launches skip recompiles —
+        on TPU a cold compile goes through a remote service and costs
+        minutes. Both settings only take effect before backend init, which
+        is guaranteed here because the entry modules import backend-free
+        (tests/test_cli_surfaces.py::test_import_does_not_init_backend).
+        """
+        import jax
+
+        ids = [
+            int(t) for t in str(opt.gpu_ids).split(",")
+            if t.strip().lstrip("-").isdigit()
+        ]
+        if not [i for i in ids if i >= 0]:
+            jax.config.update("jax_platforms", "cpu")
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax")
+            )
+
     def parse(self, args=None, save: bool = True, known_only: bool = False):
         opt = self.gather_options(args, known_only=known_only)
         opt.isTrain = self.isTrain
         if opt.suffix:
             opt.name = opt.name + "_" + opt.suffix.format(**vars(opt))
+        self._apply_device_options(opt)
         self.print_options(opt, save=save)
         return opt
 

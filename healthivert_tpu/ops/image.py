@@ -15,9 +15,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-SOBEL_GX = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
-SOBEL_GY = jnp.array([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]])
+# Filter taps realized by sobel_edges' shift-and-add formulation. Host
+# constants on purpose: a module-level jnp.array would initialize the JAX
+# backend at import time, adding a device round-trip to every CLI start
+# (and hanging outright if the TPU tunnel is down).
+SOBEL_GX = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+SOBEL_GY = np.array([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]])
 
 
 def _edge_pad(x: jnp.ndarray) -> jnp.ndarray:

@@ -30,6 +30,43 @@ def test_cli_help(script):
     assert "usage" in r.stdout.lower()
 
 
+def test_import_does_not_init_backend():
+    """Importing the entry modules must not touch a JAX backend: a module-
+    level device constant adds a device round-trip to every CLI start and
+    hangs --help outright when the TPU tunnel is down (ops/image.py SOBEL_*
+    regression). JAX_PLATFORMS=nonexistent makes any backend init raise, so
+    rc==0 proves import stays host-only."""
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="nonexistent_platform")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import train, test, eval_3d_sagittal_twostage, healthivert_tpu"],
+        capture_output=True, text=True, timeout=180, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+
+
+def test_gpu_ids_minus_one_selects_cpu(tmp_path):
+    """--gpu_ids -1 must run on the CPU backend (reference base_options.py:
+    131-139) — the escape hatch when the TPU is unreachable. The env pins an
+    unusable platform, so rc==0 proves parse() switched to CPU in-process."""
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="nonexistent_platform")
+    env.pop("XLA_FLAGS", None)  # a plain user env: one CPU device
+    r = subprocess.run(
+        [sys.executable, "train.py", "--dataset_mode", "synthetic",
+         "--name", "cpuids", "--model", "pix2pix", "--batch_size", "2",
+         "--crop_size", "64", "--ngf", "4", "--ndf", "4", "--n_epochs", "1",
+         "--n_epochs_decay", "0", "--max_steps", "1", "--gpu_ids", "-1",
+         "--checkpoints_dir", str(tmp_path), "--print_freq", "64",
+         "--save_epoch_freq", "99", "--eval_freq", "99"],
+        capture_output=True, text=True, timeout=560, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-300:], r.stderr[-800:])
+
+
 def test_train_mesh_flag(tmp_path):
     """--mesh data:8 shards the batch over the virtual CPU mesh."""
     import jax
