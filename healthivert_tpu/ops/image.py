@@ -130,6 +130,31 @@ def ssim(
     return jnp.mean(num / den)
 
 
+@functools.partial(jax.jit, static_argnames=("win_size", "with_ssim"))
+def psnr_ssim_batch(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    data_range: jnp.ndarray,
+    win_size: int = 7,
+    with_ssim: bool = True,
+) -> tuple:
+    """Per-slice PSNR and SSIM over a stack of 2D images in ONE dispatch.
+
+    a, b: (N, H, W); data_range: (N,). Returns ((N,) psnr, (N,) ssim), the
+    SSIM half None when with_ssim=False (images smaller than the window).
+    vmaps the scalar kernels above, so each row's math is identical to the
+    single-image functions; exists because per-slice dispatch+fetch costs
+    dominate the generation-quality eval on the tunneled TPU backend
+    (~0.5-1 s RTT each; reference calls skimage per slice,
+    evaluation/generation_eval_sagittal.py:70-94).
+    """
+    p = jax.vmap(psnr)(a, b, data_range)
+    if not with_ssim:
+        return p, None
+    s = jax.vmap(lambda x, y, d: ssim(x, y, d, win_size=win_size))(a, b, data_range)
+    return p, s
+
+
 def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Nearest-neighbor resize on NHWC, matching torch F.interpolate(nearest):
     src = floor(dst * in/out).
