@@ -56,19 +56,36 @@ def main():
         ps, ss = G._metric_rows(rows)
         t_batched.append(time.time() - t0)
 
+    import jax.numpy as jnp
+
+    from healthivert_tpu.ops import image as I
+
+    def serial_psnr(a, b, d):
+        # the true pre-batching formulation: one unpadded single-metric
+        # dispatch + scalar fetch per call (what the first port did,
+        # mirroring the reference's per-slice skimage calls)
+        return float(I.psnr(jnp.asarray(np.float32(a)), jnp.asarray(np.float32(b)), float(d)))
+
+    def serial_ssim(a, b, d):
+        return float(I.ssim(jnp.asarray(np.float32(a)), jnp.asarray(np.float32(b)), float(d)))
+
+    serial_psnr(*fresh_rows(3)[0])  # warm
+    serial_ssim(*fresh_rows(4)[0])
+
     t_serial = []
     for rep in range(args.reps):
         rows = fresh_rows(200 + rep)
         t0 = time.time()
-        ps2 = [G._psnr(a, b, d) for a, b, d in rows]
-        ss2 = [G._ssim(a, b, d) for a, b, d in rows]
+        ps2 = [serial_psnr(a, b, d) for a, b, d in rows]
+        ss2 = [serial_ssim(a, b, d) for a, b, d in rows]
         t_serial.append(time.time() - t0)
 
-    # equivalence spot check (same data through both paths)
+    # equivalence spot check (same data through both paths; serial kernels
+    # are the unbatched scalars, so agreement is f32-rounding-level)
     rows = fresh_rows(999)
     ps, ss = G._metric_rows(rows)
-    ps2 = [G._psnr(a, b, d) for a, b, d in rows]
-    ss2 = [G._ssim(a, b, d) for a, b, d in rows]
+    ps2 = [serial_psnr(a, b, d) for a, b, d in rows]
+    ss2 = [serial_ssim(a, b, d) for a, b, d in rows]
     perr = max(abs(x - y) for x, y in zip(ps, ps2))
     serr = max(abs(x - y) for x, y in zip(ss, ss2))
 

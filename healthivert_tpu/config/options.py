@@ -195,10 +195,14 @@ class BaseOptions:
         """
         import jax
 
-        ids = [
-            int(t) for t in str(opt.gpu_ids).split(",")
-            if t.strip().lstrip("-").isdigit()
-        ]
+        try:
+            # strict, as the reference's int() loop (base_options.py:133-137):
+            # a typo must error, not silently fall back to CPU
+            ids = [int(t) for t in str(opt.gpu_ids).split(",") if t.strip()]
+        except ValueError:
+            raise SystemExit(
+                f"--gpu_ids expects comma-separated integers, got {opt.gpu_ids!r}"
+            )
         if not [i for i in ids if i >= 0]:
             jax.config.update("jax_platforms", "cpu")
         if jax.config.jax_compilation_cache_dir is None:

@@ -163,6 +163,12 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
     total_iters = 0
     done = False
     profiling = False
+    if profile_steps and host_step >= profile_steps[1]:
+        print(
+            f"warning: --profile_steps window {profile_steps} is entirely "
+            f"before the resume step {host_step}; no trace will be written"
+        )
+        profile_steps = None
     schedule = LRSchedule(opt)
     last_metric = None
     local = process_batch_slice(opt.batch_size)
@@ -195,7 +201,10 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
             t_data = iter_start - iter_data_time
             total_iters += opt.batch_size
             epoch_iter += opt.batch_size
-            if profile_steps and host_step == profile_steps[0]:
+            # >= so a --continue_train resume landing inside [START, STOP)
+            # still produces a (shortened) trace; the pre-loop guard cleared
+            # profile_steps when the whole window precedes the resume step
+            if profile_steps and not profiling and host_step >= profile_steps[0]:
                 jax.profiler.start_trace(os.path.join(run_dir, "profile"))
                 profiling = True
             state, losses = train_step(state, sb, jnp.float32(lr), cfg)
@@ -206,6 +215,7 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
                 float(jax.tree_util.tree_leaves(losses)[0])
                 jax.profiler.stop_trace()
                 profiling = False
+                profile_steps = None  # one-shot window: don't re-arm START
                 print(f"profiler trace written to {run_dir}/profile")
 
             if total_iters % opt.print_freq < opt.batch_size:

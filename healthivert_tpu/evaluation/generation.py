@@ -37,32 +37,36 @@ def relative_volume_difference(a, b):
 
 
 def _bucket(n: int) -> int:
-    """Pad metric batches to power-of-2 sizes (min 8) so each slice shape
-    compiles a handful of variants, not one per batch count."""
-    b = 8
-    while b < n:
-        b *= 2
-    return b
+    """Pad metric batches to multiples of 8 so each slice shape compiles a
+    handful of variants, not one per batch count. Multiples of 8 (not pow2):
+    volumes run ~30-50 valid slices, so pow2 padded up to ~60% extra compute
+    — measurably a net LOSS on CPU where dispatches are cheap
+    (experiments/geneval_bench.py), while <=7 pad rows keep both backends
+    ahead."""
+    return -(-n // 8) * 8
 
 
-def _metric_rows(rows):
+def _metric_rows(rows, want_ssim: bool = True):
     """PSNR/SSIM for a list of same-shape (a, b, data_range) slice pairs in
     ONE device dispatch (ops.image.psnr_ssim_batch). Returns two lists
     aligned with `rows`, np.nan where the reference's guards fire (dr <= 0
-    for both; shape < win for SSIM). Batch is zero-padded to a bucket size;
-    padded rows cost nothing meaningful and are discarded."""
+    for both; shape < win for SSIM, or want_ssim=False). Multi-row batches
+    are zero-padded to a bucket size (discarded rows cost nothing
+    meaningful); single rows dispatch unpadded — vmap rows are independent,
+    so values are identical at any batch size (pinned by
+    tests/test_metrics_golden.py)."""
     n = len(rows)
     if n == 0:
         return [], []
     h, w = rows[0][0].shape
-    nb = _bucket(n)
+    nb = 1 if n == 1 else _bucket(n)
     a = np.zeros((nb, h, w), np.float32)
     b = np.zeros((nb, h, w), np.float32)
     dr = np.ones((nb,), np.float32)
     for i, (ai, bi, di) in enumerate(rows):
         a[i], b[i] = ai, bi
         dr[i] = di if di > 0 else 1.0  # placeholder; masked to nan below
-    with_ssim = min(h, w) >= 7
+    with_ssim = want_ssim and min(h, w) >= 7
     p, s = I.psnr_ssim_batch(
         jnp.asarray(a), jnp.asarray(b), jnp.asarray(dr), with_ssim=with_ssim
     )
@@ -81,7 +85,10 @@ def _ssim(a, b, dr):
 
 
 def _psnr(a, b, dr):
-    (p,), _ = _metric_rows([(np.asarray(a, np.float32), np.asarray(b, np.float32), dr)])
+    (p,), _ = _metric_rows(
+        [(np.asarray(a, np.float32), np.asarray(b, np.float32), dr)],
+        want_ssim=False,
+    )
     return p
 
 

@@ -126,6 +126,24 @@ def test_profile_steps_bracket(tmp_path):
     assert prof.exists() and any(prof.rglob("*")), "trace not flushed"
 
 
+def test_profile_steps_resume_inside_window(tmp_path):
+    """A --continue_train resume landing past START (but before STOP) must
+    still produce a (shortened) trace: START matches with >=, not ==."""
+    import train
+
+    common = [
+        "--dataset_mode", "synthetic", "--name", "profres", "--model", "pix2pix",
+        "--batch_size", "8", "--crop_size", "64", "--n_epochs", "1",
+        "--n_epochs_decay", "0", "--ndf", "8", "--checkpoints_dir", str(tmp_path),
+        "--print_freq", "64", "--save_epoch_freq", "1", "--eval_freq", "99",
+    ]
+    train.main(common + ["--max_steps", "2"])  # saves 'latest' at epoch end
+    train.main(common + ["--continue_train", "--max_steps", "4",
+                         "--profile_steps", "0,100"])
+    prof = tmp_path / "profres" / "profile"
+    assert prof.exists() and any(prof.rglob("*")), "trace not written on resume"
+
+
 def test_profile_steps_validation(tmp_path):
     import pytest as _pytest
 

@@ -125,6 +125,26 @@ def test_ssim_identical_images_is_one():
     assert float(I.ssim(a, a, data_range=1.0)) == pytest.approx(1.0, abs=1e-6)
 
 
+def test_psnr_ssim_batch_rows_independent_of_batch_size():
+    """psnr_ssim_batch rows must be BIT-identical at any batch size (vmap
+    rows are independent): evaluation/generation.py relies on this to mix
+    unpadded single-slice dispatches with pow2-bucketed volume batches while
+    staying exact vs the reference's per-slice formulation."""
+    rng = np.random.default_rng(3)
+    a = rng.random((8, 64, 48)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    dr = np.linspace(0.5, 2.0, 8).astype(np.float32)
+    p8, s8 = I.psnr_ssim_batch(a, b, dr)
+    for i in range(8):
+        p1, s1 = I.psnr_ssim_batch(a[i : i + 1], b[i : i + 1], dr[i : i + 1])
+        assert float(p1[0]) == float(p8[i])
+        assert float(s1[0]) == float(s8[i])
+    # and the unbatched scalar kernels agree to f32 rounding
+    for i in range(8):
+        assert float(I.psnr(a[i], b[i], float(dr[i]))) == pytest.approx(float(p8[i]), abs=1e-5)
+        assert float(I.ssim(a[i], b[i], float(dr[i]))) == pytest.approx(float(s8[i]), abs=1e-5)
+
+
 # golden constants — float64 values of the independent implementations
 GOLDEN_SSIM = 0.9646804281469996
 GOLDEN_PSNR = 22.363501141916593
