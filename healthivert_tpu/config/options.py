@@ -77,6 +77,10 @@ def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="folder of HGAM attention heatmap NIfTIs; omit for uniform CAM")
     parser.add_argument("--synthetic_cache", type=int, default=0,
                         help="pre-build N synthetic examples (amortizes host sampling)")
+    parser.add_argument("--data_cache_gb", type=float, default=4.0,
+                        help="LRU cache of decompressed vertebra volumes (uint8), "
+                             "GB; 0 disables. Each 1-slice example otherwise "
+                             "gunzips 2-3 full volumes")
     return parser
 
 

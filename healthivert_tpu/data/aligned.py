@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional
 
@@ -96,6 +98,17 @@ class AlignedDataset:
         self.pool = ThreadPoolExecutor(max_workers=max(1, opt.num_threads))
         self.serial = getattr(opt, "serial_batches", False)
         self._epoch = -1
+        # LRU cache of decompressed volumes. Each 1-slice example otherwise
+        # gunzips 2-3 FULL 256x256x64 NIfTIs (~6 examples/sec/core,
+        # experiments/loader_bench.py) — two orders of magnitude short of
+        # the train step's appetite. Stored compactly (CT/CAM uint8, labels
+        # uint8): quantization commutes with build_example's row
+        # selections, so cached batches are bit-identical
+        # (tests/test_data_extras.py). --data_cache_gb 0 disables.
+        self._cache_cap = int(float(getattr(opt, "data_cache_gb", 4.0) or 0.0) * 1e9)
+        self._cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
         # multi-host data parallelism: every process derives the SAME epoch
         # order (shared seed) but loads only its own contiguous slice of each
         # global batch — disjoint data, no duplicated IO
@@ -120,9 +133,20 @@ class AlignedDataset:
     def __len__(self):
         return len(self.vertebra_ids)
 
-    def _load_example(self, pv: str, global_idx: int = 0):
-        patient, vert = pv.rsplit("_", 1)
-        vert_id = int(vert)
+    def _load_volumes(self, pv: str):
+        """Decompressed (ct, labels, cam) for a vertebra, LRU-cached.
+
+        CT/CAM are cached uint8 and labels uint8: build_example only ever
+        row-selects these values before its own uint8 quantization
+        (sampler.py to_unit), so pre-quantizing is exact. A miss does IO
+        outside the lock; concurrent misses on the same pv (trailing-batch
+        repetition) load twice harmlessly."""
+        if self._cache_cap:
+            with self._cache_lock:
+                hit = self._cache.get(pv)
+                if hit is not None:
+                    self._cache.move_to_end(pv)
+                    return hit
         ct = nifti.load(os.path.join(self.dataroot, "CT", pv + ".nii.gz")).get_fdata()
         labels = nifti.load(
             os.path.join(self.dataroot, "label", pv + ".nii.gz")
@@ -132,6 +156,35 @@ class AlignedDataset:
             cp = find_cam_path(self.cam_dir, pv)
             if cp:
                 cam = nifti.load(cp).get_fdata()
+        if not self._cache_cap:
+            return ct, labels, cam
+        # labels feed equality tests (labels == vert_id): only narrow when
+        # every id fits, else keep int32 (uint8 wrap would alias ids)
+        lab = (
+            labels.astype(np.uint8)
+            if labels.size and 0 <= labels.min() and labels.max() <= 255
+            else labels.astype(np.int32)
+        )
+        entry = (
+            ct.astype(np.uint8),
+            lab,
+            (cam * 255).astype(np.uint8) if cam is not None else None,
+        )
+        nbytes = sum(a.nbytes for a in entry if a is not None)
+        with self._cache_lock:
+            if pv not in self._cache:
+                self._cache[pv] = entry
+                self._cache_bytes += nbytes
+                while self._cache_bytes > self._cache_cap and self._cache:
+                    _, old = self._cache.popitem(last=False)
+                    self._cache_bytes -= sum(a.nbytes for a in old if a is not None)
+        return entry
+
+    def _load_example(self, pv: str, global_idx: int = 0):
+        patient, vert = pv.rsplit("_", 1)
+        vert_id = int(vert)
+        ct, labels, cam = self._load_volumes(pv)
+        # cached cam is uint8 (already *255) — build_example handles both
         normal_ids = [int(v) for v in self.normal_by_patient.get(patient, [])]
         # slice-sampling rng keyed by (seed, epoch, global example index):
         # deterministic regardless of process layout or thread scheduling, so

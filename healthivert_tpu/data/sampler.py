@@ -107,16 +107,25 @@ def build_example(
     labels: np.ndarray,  # (H, W, Z) integer vertebra ids
     vert_id: int,
     normal_ids,
-    cam: Optional[np.ndarray] = None,  # (H, W, Z) in [0, 1], or None -> zeros
+    cam: Optional[np.ndarray] = None,  # (H, W, Z) in [0,1], or uint8 already
+    # scaled to [0,255] (the aligned-dataset volume cache), or None -> zeros
     maxheight: int = MAXHEIGHT,
 ) -> Dict[str, np.ndarray]:
     """One training example for vertebra `vert_id` (aligned_dataset.__getitem__)."""
-    vert = (labels == vert_id).astype(np.float64)
+    # bool, not float64: the f64 full-volume materialization (33 MB/example
+    # at 256x256x64) was 60% of build_example's cost; every consumer
+    # (cc cleanup, sums, argwhere, *255 quantization) treats 0/1 identically
+    vert = labels == vert_id
     zs = np.nonzero(vert.any(axis=(0, 1)))[0]
     z, ratio, x1, x2 = valid_slice(rng, vert, int(zs.min()), int(zs.max()), maxheight)
 
     normal = np.isin(labels[:, :, z], list(normal_ids)).astype(np.float64) if len(normal_ids) else np.zeros_like(vert[:, :, z])
-    cam_sl = (cam[:, :, z] * 255 if cam is not None else np.zeros_like(vert[:, :, z]))
+    if cam is None:
+        cam_sl = np.zeros_like(vert[:, :, z])
+    elif cam.dtype == np.uint8:  # pre-scaled by the volume cache: use as-is
+        cam_sl = cam[:, :, z].astype(np.float64)
+    else:
+        cam_sl = cam[:, :, z] * 255
 
     full = ct[:, :, z].astype(np.float64)
     min_x, max_x, mask, ctx = band_and_shift(full, x1, x2, maxheight)

@@ -91,6 +91,61 @@ def make_aligned_fixture(root, n=5):
     return pvs
 
 
+def _epoch_batches(ds, n_epochs=2):
+    out = []
+    for _ in range(n_epochs):
+        for b in ds:
+            out.append(b)
+    return out
+
+
+def test_volume_cache_batches_bit_identical(tmp_path):
+    """The LRU volume cache (uint8 CT/CAM, narrow labels) must be invisible:
+    cached epochs produce BIT-identical batches to uncached ones — the
+    quantization commutes with build_example's row selections."""
+    from healthivert_tpu.data.aligned import AlignedDataset
+    from healthivert_tpu.utils import nifti
+
+    pvs = make_aligned_fixture(str(tmp_path), 4)
+    # add CAM volumes to exercise the pre-scaled uint8 cam path
+    cam_dir = tmp_path / "CAM"
+    cam_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for pv in pvs:
+        cam = rng.random((64, 64, 16)).astype(np.float32)
+        nifti.save(nifti.Nifti1Image(cam, np.eye(4)), str(cam_dir / f"{pv}_0.nii.gz"))
+
+    def mk(cache_gb):
+        return AlignedDataset(types.SimpleNamespace(
+            batch_size=2, seed=0, dataroot=str(tmp_path), phase="train",
+            vert_class="normal", num_threads=2, serial_batches=True,
+            cam_dir=str(cam_dir), data_cache_gb=cache_gb,
+        ))
+
+    cached = _epoch_batches(mk(4.0))
+    plain = _epoch_batches(mk(0))
+    assert len(cached) == len(plain)
+    for bc, bp in zip(cached, plain):
+        for k in bp:
+            assert np.array_equal(bc[k], bp[k]), k
+
+
+def test_volume_cache_respects_cap(tmp_path):
+    from healthivert_tpu.data.aligned import AlignedDataset
+
+    make_aligned_fixture(str(tmp_path), 5)
+    one_entry = 2 * 64 * 64 * 16  # ct u8 + labels u8
+    ds = AlignedDataset(types.SimpleNamespace(
+        batch_size=2, seed=0, dataroot=str(tmp_path), phase="train",
+        vert_class="normal", num_threads=1, serial_batches=True,
+        data_cache_gb=2.5 * one_entry / 1e9,  # fits 2 entries
+    ))
+    for _ in ds:
+        pass
+    assert len(ds._cache) == 2
+    assert ds._cache_bytes <= 2.5 * one_entry
+
+
 def test_aligned_dataset_yields_trailing_partial_batch(tmp_path):
     """N % batch_size != 0 must still yield all N examples per epoch — the
     reference DataLoader's drop_last=False (/root/reference/data/__init__.py:
