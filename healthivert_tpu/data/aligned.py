@@ -95,7 +95,13 @@ class AlignedDataset:
             raise FileNotFoundError(
                 f"no CT volumes under {self.dataroot}/CT for split {opt.phase}"
             )
-        self.pool = ThreadPoolExecutor(max_workers=max(1, opt.num_threads))
+        # bound by core count: the loader is CPU-bound (zlib + numpy), so
+        # threads beyond cores only add GIL contention — measured 218 -> 170
+        # examples/sec going 1 -> 4 threads on a 1-core host
+        # (experiments/loader_bench.py); the reference default is 16
+        self.pool = ThreadPoolExecutor(
+            max_workers=max(1, min(opt.num_threads, os.cpu_count() or 1))
+        )
         self.serial = getattr(opt, "serial_batches", False)
         self._epoch = -1
         # LRU cache of decompressed volumes. Each 1-slice example otherwise
