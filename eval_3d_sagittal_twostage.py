@@ -50,7 +50,10 @@ def main(argv=None):
 
         mesh = make_mesh(opt.mesh)
         print(f"sharding slice batches over mesh {dict(mesh.shape)}")
-    cfg = Pix2PixConfig(ngf=16, image_size=opt.crop_size)
+    cfg = Pix2PixConfig(
+        ngf=16, image_size=opt.crop_size,
+        compute_dtype=getattr(opt, "compute_dtype", "float32"),
+    )
 
     state = init_state(jax.random.PRNGKey(opt.seed), cfg)
     run_dir = os.path.join(opt.checkpoints_dir, opt.name)

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""int8 vs bf16 two-stage synthesis throughput (REAL TPU).
+
+Quality gate already passed (experiments/int8_quality.py: near-zero deltas),
+so this measures whether XLA actually lowers the quantized convs onto the
+v5e int8 MXU (~2x bf16 peak) and what the end-to-end slices/sec gain is.
+Mirrors bench.py's headline path (generator_forward, batch sweep).
+
+    python -u experiments/int8_bench.py          # on the tunneled TPU
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    import jax.numpy as jnp
+
+    from healthivert_tpu.data.synthetic import SyntheticDataset
+    from healthivert_tpu.models.generator import Generator
+    from healthivert_tpu.models.pix2pix import (
+        Pix2PixConfig, generator_forward, init_state,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = Pix2PixConfig(ngf=16, image_size=256)
+    state = init_state(jax.random.PRNGKey(0), cfg)
+
+    def make_step(dtype):
+        gen = Generator(
+            cnum=cfg.ngf, use_pallas_attention=on_tpu,
+            dtype="int8" if dtype == "int8" else None,
+        )
+
+        def infer_step(g_params, g_sn, batch):
+            bf = {
+                k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 and v.ndim == 4 else v)
+                for k, v in batch.items()
+            }
+            f = generator_forward(gen, g_params, g_sn, bf, cfg, update_sn=False)
+            return f["fake_b"], f["fine_seg_bin"], f["pred2_h"]
+
+        return jax.jit(infer_step)
+
+    for bs in (256, 384):
+        ds = SyntheticDataset(batch_size=bs, seed=0, n_volumes=2)
+        batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
+        for dtype in ("bf16", "int8"):
+            step = make_step(dtype)
+            try:
+                out = step(state.g_params, state.g_sn, batch)
+                float(jnp.sum(out[0].astype(jnp.float32)))  # completion barrier
+                reps, best = 6, 0.0
+                for _ in range(reps):
+                    t0 = time.time()
+                    out = step(state.g_params, state.g_sn, batch)
+                    float(jnp.sum(out[0].astype(jnp.float32)))
+                    best = max(best, bs / (time.time() - t0))
+                print(f"batch {bs} {dtype}: {best:.1f} slices/sec")
+            except Exception as e:
+                print(f"batch {bs} {dtype} FAILED: {e!r}"[:300])
+
+
+if __name__ == "__main__":
+    main()

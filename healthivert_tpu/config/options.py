@@ -67,7 +67,9 @@ def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--mesh", type=str, default="data:-1",
                         help="device mesh spec 'axis:n[,axis:n]'; n=-1 uses all devices")
     parser.add_argument("--compute_dtype", type=str, default="float32",
-                        choices=["float32", "bfloat16"])
+                        choices=["float32", "bfloat16", "int8"],
+                        help="int8 = post-training-quantized generator convs "
+                             "(inference only; int8 MXU)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize the generator forward in the backward "

@@ -88,6 +88,12 @@ def _print_networks(state, verbose=False):
 
 def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
     """Main entry (train.py CLI). Returns the final TrainState."""
+    if getattr(opt, "compute_dtype", "float32") == "int8":
+        raise SystemExit(
+            "--compute_dtype int8 is inference-only (post-training "
+            "quantization; no straight-through estimator) — train in "
+            "bfloat16/float32 and pass int8 to test.py / eval_3d"
+        )
     cfg = Pix2PixConfig(
         ngf=16,
         ndf=opt.ndf,

@@ -104,11 +104,15 @@ def build_modules(cfg: Pix2PixConfig):
     PixelGAN, seg = shared-encoder PatchGAN + UNet seg decoder (the seg
     head's output is ignored by the GAN losses; only the patch logits feed
     them — see _d_forward)."""
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    # "int8" is an inference-only sentinel consumed by SNConv (quantized
+    # convs); discriminators never run at int8 (training forbids it)
+    dtype = {"bfloat16": jnp.bfloat16, "int8": "int8"}.get(cfg.compute_dtype)
     gen = Generator(
         cnum=cfg.ngf, dtype=dtype, use_pallas_attention=cfg.pallas_attention,
         compute_offsets=cfg.compute_offsets,
     )
+    if dtype == "int8":
+        dtype = jnp.bfloat16
     if cfg.net_d == "basic":
         d = NLayerDiscriminator(ndf=cfg.ndf, n_layers=3, norm=cfg.norm, dtype=dtype)
     elif cfg.net_d == "n_layers":
@@ -171,7 +175,7 @@ def generator_forward(
     update_sn: bool = True,
 ):
     """Full forward incl. SHRM paste-back (pix2pix_model.py:180-264)."""
-    if cfg.compute_dtype == "bfloat16":
+    if cfg.compute_dtype in ("bfloat16", "int8"):
         batch = {
             k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 and v.ndim == 4 else v)
             for k, v in batch.items()

@@ -40,6 +40,7 @@ def main(argv=None):
         ngf=16, ndf=opt.ndf, image_size=opt.crop_size,
         pallas_attention=jax.default_backend() == "tpu",
         compute_offsets=True,
+        compute_dtype=getattr(opt, "compute_dtype", "float32"),
     )
     dataset = create_dataset(opt)
     gen, _ = build_modules(cfg)

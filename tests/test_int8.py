@@ -1,0 +1,85 @@
+"""Post-training int8 inference path (--compute_dtype int8).
+
+Quality impact is measured in experiments/int8_quality.py (near-zero on the
+shipped checkpoint); these tests pin the mechanics: the quantized conv
+matches its own dequantized-f32 mirror, the generator runs end-to-end at
+int8, training refuses the mode, and the test.py CLI surface accepts it.
+"""
+
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_snconv_int8_matches_fakequant_mirror():
+    """int8 x int8 -> int32 conv == f32 conv of the dequantized operands
+    (int32 accumulation is exact; the f32 mirror only differs by summation
+    rounding)."""
+    from healthivert_tpu.models.layers import SNConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1.7, (2, 16, 16, 5)).astype(np.float32))
+    conv = SNConv(features=8, kernel_size=3, padding=1, use_sn=False, dtype="int8")
+    v = conv.init(jax.random.PRNGKey(1), x)
+    y = conv.apply(v, x)
+    assert y.dtype == jnp.bfloat16
+
+    k = v["params"]["kernel"]
+    b = v["params"]["bias"]
+    sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+    qx = jnp.clip(jnp.round(x / sx), -127, 127) * sx
+    sw = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-12) / 127.0
+    qk = jnp.clip(jnp.round(k / sw), -127, 127) * sw
+    ref = jax.lax.conv_general_dilated(
+        qx, qk, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    np.testing.assert_allclose(
+        np.float32(y), np.float32(ref.astype(jnp.bfloat16)), rtol=0, atol=1e-2
+    )
+    # and it actually quantized: differs from the unquantized conv
+    full = conv.copy(dtype=jnp.float32).apply(v, x)
+    assert float(jnp.max(jnp.abs(full - y.astype(jnp.float32)))) > 1e-4
+
+
+def test_generator_runs_int8():
+    from healthivert_tpu.models.pix2pix import Pix2PixConfig, build_modules, init_state
+
+    cfg = Pix2PixConfig(ngf=4, ndf=8, image_size=64, compute_dtype="int8")
+    state = init_state(jax.random.PRNGKey(0), cfg, batch_size=2)
+    gen, _ = build_modules(cfg)
+    x = jnp.zeros((2, 64, 64, 1))
+    out = gen.apply(
+        {"params": state.g_params, "sn": state.g_sn}, x, x, 1.0 - x,
+        jnp.zeros((2,)),
+    )
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert bool(jnp.all(jnp.isfinite(leaf.astype(jnp.float32))))
+    assert float(out.x_stage2.min()) >= -1.0 and float(out.x_stage2.max()) <= 1.0
+
+
+def test_training_rejects_int8(tmp_path):
+    import train
+
+    with pytest.raises(SystemExit, match="inference-only"):
+        train.main([
+            "--dataset_mode", "synthetic", "--name", "i8", "--batch_size", "2",
+            "--crop_size", "64", "--compute_dtype", "int8",
+            "--checkpoints_dir", str(tmp_path),
+        ])
+
+
+def test_test_cli_int8(tmp_path):
+    """test.py --compute_dtype int8 runs end-to-end and writes the gallery."""
+    import test as test_cli
+
+    test_cli.main([
+        "--dataset_mode", "synthetic", "--name", "i8cli", "--crop_size", "64",
+        "--ndf", "8", "--checkpoints_dir", str(tmp_path / "ck"),
+        "--results_dir", str(tmp_path / "res"), "--num_test", "1",
+        "--compute_dtype", "int8",
+    ])
+    assert (tmp_path / "res" / "i8cli" / "test_latest" / "index.html").exists()
