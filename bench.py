@@ -44,8 +44,14 @@ def main():
 
     cfg = Pix2PixConfig(ngf=16, image_size=256)
     state = init_state(jax.random.PRNGKey(0), cfg)
-    # fused pallas attention on TPU; XLA path elsewhere
-    gen = Generator(cnum=cfg.ngf, use_pallas_attention=jax.default_backend() == "tpu")
+    # fused pallas attention on TPU; XLA path elsewhere. dtype explicitly
+    # bf16: with dtype=None the convs follow x.dtype, and f32 leaks (ratio
+    # plane, attention output) promoted the whole trunk to f32 convs —
+    # the pre-r3-fix headline was measured on f32 convs
+    gen = Generator(
+        cnum=cfg.ngf, use_pallas_attention=jax.default_backend() == "tpu",
+        dtype=jnp.bfloat16,
+    )
 
     def infer_step(g_params, g_sn, batch):
         bf = {

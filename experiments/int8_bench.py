@@ -34,7 +34,9 @@ def main():
     def make_step(dtype):
         gen = Generator(
             cnum=cfg.ngf, use_pallas_attention=on_tpu,
-            dtype="int8" if dtype == "int8" else None,
+            # explicit bf16 baseline: dtype=None would follow promoted-f32
+            # inputs and understate the bf16 rate (code-review r3)
+            dtype="int8" if dtype == "int8" else jnp.bfloat16,
         )
 
         def infer_step(g_params, g_sn, batch):

@@ -83,6 +83,10 @@ def main():
                     data_cache_gb=cache_gb,
                 )
                 ds = AlignedDataset(opt)
+                # AlignedDataset clamps workers to os.cpu_count(); report
+                # the EFFECTIVE count so rows on a small host aren't read
+                # as "threads don't matter"
+                nt_eff = ds.pool._max_workers
                 # epoch 0 warms the OS page cache (and the volume cache);
                 # epoch 1 is the steady state
                 for _ in ds:
@@ -93,7 +97,7 @@ def main():
                     count += next(iter(b.values())).shape[0]
                 dt = time.time() - t0
                 print(
-                    f"cache={cache_gb:4.1f}GB threads={nt:3d}: "
+                    f"cache={cache_gb:4.1f}GB threads={nt:3d} (effective {nt_eff}): "
                     f"{count / dt:8.1f} examples/sec "
                     f"({dt / (count / args.batch) * 1000:6.1f} ms/batch-{args.batch})"
                 )

@@ -5,7 +5,8 @@ names and defaults, plugin flag injection from the model/dataset registries,
 and the resolved-options dump to {checkpoints_dir}/{name}/{phase}_opt.txt.
 
 TPU-native additions (all optional): --mesh (device mesh spec, e.g. "data:8"
-or "data:4,model:2"), --compute_dtype (bfloat16|float32), --seed,
+or "data:4,model:2"), --compute_dtype (float32|bfloat16|int8 — int8 is
+inference-only PTQ), --seed,
 --donate_state. --gpu_ids keeps its reference semantics where they make
 sense on TPU: -1 selects the CPU backend (base_options.py:131-139); any
 id >= 0 keeps the default platform (there is no per-device id concept).
@@ -81,8 +82,10 @@ def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="pre-build N synthetic examples (amortizes host sampling)")
     parser.add_argument("--data_cache_gb", type=float, default=4.0,
                         help="LRU cache of decompressed vertebra volumes (uint8), "
-                             "GB; 0 disables. Each 1-slice example otherwise "
-                             "gunzips 2-3 full volumes")
+                             "GB PER DATASET — training holds a train + an eval "
+                             "dataset, so worst-case host RSS is ~2x this; 0 "
+                             "disables. Each 1-slice example otherwise gunzips "
+                             "2-3 full volumes")
     return parser
 
 

@@ -65,12 +65,14 @@ def _forward_impl(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x,
                   use_pallas=False, win=WINDOW):
     from healthivert_tpu.models.generator import Generator
 
-    gen = Generator(
-        cnum=cfg.ngf, use_pallas_attention=use_pallas,
-        # int8: post-training-quantized convs (SNConv dtype sentinel); the
-        # non-conv math still runs at the use_bf16 dtype below
-        dtype="int8" if cfg.compute_dtype == "int8" else None,
-    )
+    if cfg.compute_dtype == "int8":
+        gdtype = "int8"  # post-training-quantized convs (SNConv sentinel)
+    else:
+        # explicit, not None: dtype=None follows x.dtype, and attention /
+        # ratio-plane f32 leaks then promote downstream convs to f32
+        # (code-review r3 finding — this path silently ran f32 convs)
+        gdtype = jnp.bfloat16 if use_bf16 else None
+    gen = Generator(cnum=cfg.ngf, use_pallas_attention=use_pallas, dtype=gdtype)
     # inputs arrive as RAW u8 slices + band scalars; the context/mask/CAM
     # planes are built ON DEVICE (_band_inputs) and normalized there: the
     # tunneled host->device link runs at ~MB/s, so shipping two u8 planes

@@ -32,10 +32,15 @@ class GeneratorOut(NamedTuple):
     pred2_h: jnp.ndarray  # (B,) sigmoid height fraction (fine)
 
 
-def _bc_ratio(slice_ratio, h, w):
-    """(B,) -> (B, H, W, 1) constant plane (inpaint_networks.py:71)."""
+def _bc_ratio(slice_ratio, h, w, dtype=jnp.float32):
+    """(B,) -> (B, H, W, 1) constant plane (inpaint_networks.py:71).
+
+    dtype must follow the image input: an f32 plane concatenated with bf16
+    features silently promotes the whole trunk to f32, and SNConv(dtype=None)
+    then runs every conv at the f32 MXU rate (caught by code review r3 —
+    the bench headline and 3D-synthesis paths were paying it)."""
     return jnp.broadcast_to(
-        slice_ratio.reshape(-1, 1, 1, 1).astype(jnp.float32), (slice_ratio.shape[0], h, w, 1)
+        slice_ratio.reshape(-1, 1, 1, 1).astype(dtype), (slice_ratio.shape[0], h, w, 1)
     )
 
 
@@ -59,7 +64,7 @@ class CoarseGenerator(nn.Module):
             f, k, s, p, r, act, dtype=self.dtype, name=name
         )
 
-        z = jnp.concatenate([x, _bc_ratio(slice_ratio, h, w), mask], axis=-1)
+        z = jnp.concatenate([x, _bc_ratio(slice_ratio, h, w, x.dtype), mask], axis=-1)
         z = g(c, 5, 1, 2, name="conv1")(z)
         z = g(c * 2, 3, 2, 1, name="conv2_downsample")(z)
         z = g(c * 2, 3, 1, 1, name="conv3")(z)
@@ -122,7 +127,7 @@ class FineGenerator(nn.Module):
         )
 
         xnow = jnp.concatenate(
-            [xin, coarse_seg, mask, _bc_ratio(slice_ratio, h, w)], axis=-1
+            [xin, coarse_seg, mask, _bc_ratio(slice_ratio, h, w, xin.dtype)], axis=-1
         )
 
         # hallucination branch

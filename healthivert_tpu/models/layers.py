@@ -108,7 +108,14 @@ class SNConv(nn.Module):
         0.9249, Dice/IoU unchanged)."""
         f32 = jnp.float32
         xf = x.astype(f32)
-        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        # PER-SAMPLE activation scale: a whole-batch max would make each
+        # sample's output depend on what else shares the dispatch, breaking
+        # the serial-vs-batched / mesh-vs-unmeshed equivalence every other
+        # dtype upholds (code-review r3). Conv is linear per sample, so a
+        # per-sample scale dequantizes exactly.
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True), 1e-12
+        ) / 127.0
         qx = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
         kf = kernel.astype(f32)
         sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0

@@ -60,7 +60,8 @@ class Pix2PixConfig:
     gan_mode: str = "vanilla"
     maxheight: float = 40.0
     image_size: int = 256
-    compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
+    compute_dtype: str = "float32"  # float32 | bfloat16 | int8 (params stay
+    # f32; int8 = inference-only post-training-quantized generator convs)
     pallas_attention: bool = False  # fused attention kernel (TPU only)
     compute_offsets: bool = False  # attention argmax offsets (flow viz)
     # MEASURED NEGATIVE on v5e (round 3): stacking D1/D2/D3 params and

@@ -30,7 +30,7 @@ def test_snconv_int8_matches_fakequant_mirror():
 
     k = v["params"]["kernel"]
     b = v["params"]["bias"]
-    sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True), 1e-12) / 127.0
     qx = jnp.clip(jnp.round(x / sx), -127, 127) * sx
     sw = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-12) / 127.0
     qk = jnp.clip(jnp.round(k / sw), -127, 127) * sw
@@ -43,6 +43,22 @@ def test_snconv_int8_matches_fakequant_mirror():
     # and it actually quantized: differs from the unquantized conv
     full = conv.copy(dtype=jnp.float32).apply(v, x)
     assert float(jnp.max(jnp.abs(full - y.astype(jnp.float32)))) > 1e-4
+
+
+def test_int8_outputs_batch_invariant():
+    """Per-SAMPLE activation scales: a sample's int8 output must not depend
+    on what else shares the dispatch (serial-vs-batched / mesh-vs-unmeshed
+    equivalence — a whole-batch max scale broke it)."""
+    from healthivert_tpu.models.layers import SNConv
+
+    rng = np.random.default_rng(2)
+    a = rng.normal(0, 1, (1, 12, 12, 4)).astype(np.float32)
+    b = rng.normal(0, 50, (1, 12, 12, 4)).astype(np.float32)  # huge-scale peer
+    conv = SNConv(features=6, kernel_size=3, padding=1, dtype="int8")
+    v = conv.init(jax.random.PRNGKey(0), jnp.asarray(a))
+    solo = conv.apply(v, jnp.asarray(a))
+    paired = conv.apply(v, jnp.asarray(np.concatenate([a, b])))[:1]
+    np.testing.assert_array_equal(np.float32(solo), np.float32(paired))
 
 
 def test_generator_runs_int8():
