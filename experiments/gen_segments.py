@@ -44,10 +44,12 @@ def main():
         cam = jnp.ones((B, 256, 256, 1), jnp.bfloat16)
         ratio = jnp.zeros((B,), jnp.float32)
 
-        coarse = CoarseGenerator(cnum=16)
-        fine_x = FineGenerator(cnum=16, use_pallas_attention=True)
-        fine_noattn = FineGenerator(cnum=16, use_pallas_attention=False)
-        gen = Generator(cnum=16, use_pallas_attention=True)
+        # explicit bf16 (pre-r3-fix runs measured f32-promoted convs)
+        bf = jnp.bfloat16
+        coarse = CoarseGenerator(cnum=16, dtype=bf)
+        fine_x = FineGenerator(cnum=16, use_pallas_attention=True, dtype=bf)
+        fine_noattn = FineGenerator(cnum=16, use_pallas_attention=False, dtype=bf)
+        gen = Generator(cnum=16, use_pallas_attention=True, dtype=bf)
 
         @jax.jit
         def full(x, mask, cam, ratio):

@@ -92,7 +92,12 @@ def main():
     batches = [int(a) for a in _sys.argv[1:]] or [64, 256, 384]
     cfg = Pix2PixConfig(ngf=16, image_size=256)
     state = init_state(jax.random.PRNGKey(0), cfg)
-    gen = Generator(cnum=cfg.ngf, use_pallas_attention=jax.default_backend() == "tpu")
+    # explicit bf16: dtype=None follows promoted-f32 inputs (ratio plane /
+    # attention leaks), so pre-r3-fix runs of this script measured f32 convs
+    gen = Generator(
+        cnum=cfg.ngf, use_pallas_attention=jax.default_backend() == "tpu",
+        dtype=jnp.bfloat16,
+    )
 
     # ---- analytic model ----
     layers = conv_model()
