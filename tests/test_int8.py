@@ -61,6 +61,30 @@ def test_int8_outputs_batch_invariant():
     np.testing.assert_array_equal(np.float32(solo), np.float32(paired))
 
 
+def test_generator_convs_run_at_requested_dtype(monkeypatch):
+    """Every conv in Generator(dtype=bf16) must actually execute in bf16:
+    an f32 leak (ratio plane, attention output) once silently promoted the
+    whole trunk to f32 convs in the dtype=None bench/infer3d paths
+    (code-review r3). Records the lhs dtype of every conv dispatch."""
+    from healthivert_tpu.models.generator import Generator
+
+    seen = []
+    orig = jax.lax.conv_general_dilated
+
+    def spy(lhs, rhs, *a, **kw):
+        seen.append(lhs.dtype)
+        return orig(lhs, rhs, *a, **kw)
+
+    monkeypatch.setattr(jax.lax, "conv_general_dilated", spy)
+    gen = Generator(cnum=4, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 64, 64, 1), jnp.bfloat16)
+    v = gen.init(jax.random.PRNGKey(0), x, x, 1.0 - x, jnp.zeros((1,)))
+    seen.clear()
+    with jax.disable_jit():  # eager so the spy sees every dispatch
+        gen.apply(v, x, x, 1.0 - x, jnp.zeros((1,)))
+    assert seen and all(d == jnp.bfloat16 for d in seen), set(seen)
+
+
 def test_generator_runs_int8():
     from healthivert_tpu.models.pix2pix import Pix2PixConfig, build_modules, init_state
 
