@@ -25,7 +25,15 @@ def main(argv=None):
     p.add_argument("--output_folder", required=True)
     p.add_argument("--result_folder", required=True)
     p.add_argument("--coronal", action="store_true")
+    p.add_argument("--gpu_ids", default="0",
+                   help="-1 = compute the PSNR/SSIM batches on CPU "
+                        "(reference semantics; the other CLIs share this flag)")
     args = p.parse_args(argv)
+
+    if all(int(t) < 0 for t in str(args.gpu_ids).split(",") if t.strip()):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     with open(args.split) as f:
         split = json.load(f)[args.phase]
