@@ -40,6 +40,11 @@ def main(argv=None):
                           "per pass set (reference-style serial order)")
     ns, rest = pre.parse_known_args(argv)
     axis = 2 if ns.axis == "sagittal" else 1
+    # this inference CLI defaults to bfloat16 (the TPU-native throughput
+    # choice); --compute_dtype float32 forces true-f32 convs, int8 the
+    # quantized path — all three now actually reach the synthesis kernels
+    if not any(a.split("=")[0] == "--compute_dtype" for a in rest):
+        rest = list(rest) + ["--compute_dtype", "bfloat16"]
     opt = TestOptions().parse(rest)
     # --mesh (base option, default 'data:-1' = every device): shard each
     # pass's slice batch across chips (SURVEY.md §2.4). A 1-device mesh is
@@ -119,6 +124,7 @@ def main(argv=None):
             sub = synthesize_volumes(
                 state.g_params, state.g_sn, cfg, [vols[i] for i in idxs],
                 batch_size=ns.slice_batch, axis=axis, mesh=mesh,
+                use_bf16=opt.compute_dtype != "float32",
             )
             for i, r in zip(idxs, sub):
                 results[i] = r

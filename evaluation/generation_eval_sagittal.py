@@ -30,10 +30,11 @@ def main(argv=None):
                         "(reference semantics; the other CLIs share this flag)")
     args = p.parse_args(argv)
 
-    if all(int(t) < 0 for t in str(args.gpu_ids).split(",") if t.strip()):
-        import jax
+    # same backend-selection + persistent-compile-cache setup as the
+    # options.py-based CLIs (strict typo errors included)
+    from healthivert_tpu.config.options import BaseOptions
 
-        jax.config.update("jax_platforms", "cpu")
+    BaseOptions._apply_device_options(args)
 
     with open(args.split) as f:
         split = json.load(f)[args.phase]

@@ -4,9 +4,11 @@
 Complements experiments/int8_quality.py (2D eval metrics): runs the full
 iterative two-stage volume synthesis (engine/infer3d.synthesize_volume,
 upper->lower->target passes, SHRM reassembly) with the shipped checkpoint
-under --compute_dtype float32 vs int8 and compares the outputs — fake-seg
-agreement, each variant's Dice vs the ground-truth label, and fake-CT
-voxel deltas.
+at true-f32 convs vs int8 convs (the eval_3d CLI's --compute_dtype float32
+vs int8 modes) and compares the outputs — fake-seg agreement, each
+variant's Dice vs the ground-truth label, and fake-CT voxel deltas over
+the SYNTHESIZED region (the unprocessed background is identically zero in
+both variants and would dilute the statistic).
 
     python experiments/int8_3d_quality.py
 """
@@ -61,8 +63,15 @@ def main():
     i8_ct, i8_seg = outs["int8"]
     print(f"seg agreement int8-vs-f32 Dice: {dice(i8_seg, f32_seg):.4f}")
     print(f"Dice vs real label: f32 {dice(f32_seg, real):.4f}  int8 {dice(i8_seg, real):.4f}")
-    d = np.abs(f32_ct.astype(np.float32) - i8_ct.astype(np.float32))
-    print(f"fake-CT |delta| mean {d.mean():.3f} / p99 {np.percentile(d, 99):.1f} (uint8 scale)")
+    region = (f32_ct != 0) | (i8_ct != 0)  # synthesized voxels only
+    d = np.abs(
+        f32_ct.astype(np.float32) - i8_ct.astype(np.float32)
+    )[region]
+    print(
+        f"fake-CT |delta| over the synthesized region "
+        f"({region.mean() * 100:.0f}% of voxels): "
+        f"mean {d.mean():.3f} / p99 {np.percentile(d, 99):.1f} (uint8 scale)"
+    )
 
 
 if __name__ == "__main__":

@@ -126,6 +126,36 @@ def test_profile_steps_bracket(tmp_path):
     assert prof.exists() and any(prof.rglob("*")), "trace not flushed"
 
 
+def test_eval3d_cli_e2e_compute_dtype(tmp_path):
+    """eval_3d CLI end-to-end on a tiny straightened cohort: --compute_dtype
+    float32 must reach the synthesis kernels (it silently ran bf16 before
+    the r3 threading fix) and produce the CT_fake/label_fake outputs."""
+    import numpy as np
+
+    import eval_3d_sagittal_twostage as e3
+    from healthivert_tpu.data.synthetic import make_spine_volume
+    from healthivert_tpu.utils import nifti
+
+    rng = np.random.default_rng(0)
+    ct, labels, _ = make_spine_volume(
+        rng, shape=(64, 64, 16), vert_ids=(19, 20, 21), vert_height=12, gap=5
+    )
+    (tmp_path / "CT").mkdir()
+    (tmp_path / "label").mkdir()
+    nifti.save(nifti.Nifti1Image(ct.astype(np.float32)),
+               str(tmp_path / "CT" / "p1_20.nii.gz"))
+    nifti.save(nifti.Nifti1Image(labels.astype(np.float32)),
+               str(tmp_path / "label" / "p1_20.nii.gz"))
+    e3.main([
+        "--dataroot", str(tmp_path), "--name", "e3", "--crop_size", "64",
+        "--checkpoints_dir", str(tmp_path / "ck"),
+        "--results_dir", str(tmp_path / "out"),
+        "--compute_dtype", "float32", "--slice_batch", "8",
+    ])
+    assert (tmp_path / "out" / "CT_fake" / "p1_20.nii.gz").exists()
+    assert (tmp_path / "out" / "label_fake" / "p1_20.nii.gz").exists()
+
+
 def test_profile_steps_resume_inside_window(tmp_path):
     """A --continue_train resume landing past START (but before STOP) must
     still produce a (shortened) trace: START matches with >=, not ==."""
