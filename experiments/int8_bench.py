@@ -16,6 +16,8 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    import sys as _sys
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
@@ -49,7 +51,8 @@ def main():
 
         return jax.jit(infer_step)
 
-    for bs in (256, 384):
+    batches = [int(a) for a in _sys.argv[1:]] or [256, 384]
+    for bs in batches:
         ds = SyntheticDataset(batch_size=bs, seed=0, n_volumes=2)
         batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
         for dtype in ("bf16", "int8"):
