@@ -38,13 +38,16 @@ def main(argv=None):
                      help="1 (default): batch all of a patient's vertebrae "
                           "through shared synthesis passes; 0: one vertebra "
                           "per pass set (reference-style serial order)")
-    ns, rest = pre.parse_known_args(argv)
-    axis = 2 if ns.axis == "sagittal" else 1
     # this inference CLI defaults to bfloat16 (the TPU-native throughput
     # choice); --compute_dtype float32 forces true-f32 convs, int8 the
-    # quantized path — all three now actually reach the synthesis kernels
-    if not any(a.split("=")[0] == "--compute_dtype" for a in rest):
-        rest = list(rest) + ["--compute_dtype", "bfloat16"]
+    # quantized path — all three now actually reach the synthesis kernels.
+    # The flag is declared on the pre-parser (not sniffed from the raw argv,
+    # which argparse prefix abbreviations would slip past) and re-injected.
+    pre.add_argument("--compute_dtype", default="bfloat16",
+                     choices=["float32", "bfloat16", "int8"])
+    ns, rest = pre.parse_known_args(argv)
+    axis = 2 if ns.axis == "sagittal" else 1
+    rest = list(rest) + ["--compute_dtype", ns.compute_dtype]
     opt = TestOptions().parse(rest)
     # --mesh (base option, default 'data:-1' = every device): shard each
     # pass's slice batch across chips (SURVEY.md §2.4). A 1-device mesh is

@@ -95,13 +95,13 @@ class AlignedDataset:
             raise FileNotFoundError(
                 f"no CT volumes under {self.dataroot}/CT for split {opt.phase}"
             )
-        # bound by core count: the loader is CPU-bound (zlib + numpy), so
-        # threads beyond cores only add GIL contention — measured 218 -> 170
-        # examples/sec going 1 -> 4 threads on a 1-core host
-        # (experiments/loader_bench.py); the reference default is 16
-        self.pool = ThreadPoolExecutor(
-            max_workers=max(1, min(opt.num_threads, os.cpu_count() or 1))
-        )
+        # --num_threads is honored as given (reference parity): for
+        # WARM/CPU-bound loading, threads beyond cores only add GIL
+        # contention (measured 218 -> 170 examples/sec going 1 -> 4 threads
+        # on a 1-core host, experiments/loader_bench.py — set it ~= cores
+        # there), but cold or network-filesystem reads are latency-bound and
+        # legitimately oversubscribe, so no silent clamp
+        self.pool = ThreadPoolExecutor(max_workers=max(1, opt.num_threads))
         self.serial = getattr(opt, "serial_batches", False)
         self._epoch = -1
         # LRU cache of decompressed volumes. Each 1-slice example otherwise
@@ -164,13 +164,19 @@ class AlignedDataset:
                 cam = nifti.load(cp).get_fdata()
         if not self._cache_cap:
             return ct, labels, cam
-        # labels feed equality tests (labels == vert_id): only narrow when
-        # every id fits, else keep int32 (uint8 wrap would alias ids)
-        lab = (
-            labels.astype(np.uint8)
-            if labels.size and 0 <= labels.min() and labels.max() <= 255
-            else labels.astype(np.int32)
-        )
+        # labels feed equality tests (labels == vert_id): narrow only when
+        # every value is an INTEGER in uint8 range — truncating a
+        # float-valued label map (e.g. scl_slope rescaling) would silently
+        # change vertebra membership vs the uncached compare
+        if (
+            labels.size
+            and 0 <= labels.min()
+            and labels.max() <= 255
+            and np.array_equal(labels, np.round(labels))
+        ):
+            lab = labels.astype(np.uint8)
+        else:
+            lab = labels  # keep the exact values (rare; costs f64 memory)
         entry = (
             ct.astype(np.uint8),
             lab,
@@ -190,14 +196,19 @@ class AlignedDataset:
         patient, vert = pv.rsplit("_", 1)
         vert_id = int(vert)
         ct, labels, cam = self._load_volumes(pv)
-        # cached cam is uint8 (already *255) — build_example handles both
+        # the cache stores cam as uint8 pre-scaled by 255; the encoding is
+        # this class's, so the flag is decided here, not by a dtype sniff
+        # inside the shared sampler
+        cam_scaled = cam is not None and cam.dtype == np.uint8
         normal_ids = [int(v) for v in self.normal_by_patient.get(patient, [])]
         # slice-sampling rng keyed by (seed, epoch, global example index):
         # deterministic regardless of process layout or thread scheduling, so
         # a P-process run consumes bit-identical global batches to a
         # single-process run (pinned by tests/test_multiprocess.py)
         rng = np.random.default_rng((self.opt.seed, self._epoch, global_idx))
-        return build_example(rng, ct, labels, vert_id, normal_ids, cam)
+        return build_example(
+            rng, ct, labels, vert_id, normal_ids, cam, cam_scaled=cam_scaled
+        )
 
     def __iter__(self):
         self._epoch += 1

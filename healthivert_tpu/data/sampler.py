@@ -107,9 +107,11 @@ def build_example(
     labels: np.ndarray,  # (H, W, Z) integer vertebra ids
     vert_id: int,
     normal_ids,
-    cam: Optional[np.ndarray] = None,  # (H, W, Z) in [0,1], or uint8 already
-    # scaled to [0,255] (the aligned-dataset volume cache), or None -> zeros
+    cam: Optional[np.ndarray] = None,  # (H, W, Z) in [0,1]; None -> zeros
     maxheight: int = MAXHEIGHT,
+    cam_scaled: bool = False,  # True: cam already holds [0,255] values (the
+    # aligned-dataset volume cache's uint8 encoding) — explicit flag, not a
+    # dtype sniff, so a genuinely-[0,1] uint8 cam can't be misread
 ) -> Dict[str, np.ndarray]:
     """One training example for vertebra `vert_id` (aligned_dataset.__getitem__)."""
     # bool, not float64: the f64 full-volume materialization (33 MB/example
@@ -121,8 +123,8 @@ def build_example(
 
     normal = np.isin(labels[:, :, z], list(normal_ids)).astype(np.float64) if len(normal_ids) else np.zeros_like(vert[:, :, z])
     if cam is None:
-        cam_sl = np.zeros_like(vert[:, :, z])
-    elif cam.dtype == np.uint8:  # pre-scaled by the volume cache: use as-is
+        cam_sl = np.zeros(vert.shape[:2], np.float64)
+    elif cam_scaled:  # already in [0,255] (volume cache): use as-is
         cam_sl = cam[:, :, z].astype(np.float64)
     else:
         cam_sl = cam[:, :, z] * 255

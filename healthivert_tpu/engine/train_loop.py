@@ -230,6 +230,11 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
                 if bad:
                     # failure detection (SURVEY.md §5: absent in the reference):
                     # stop rather than burn epochs on a diverged run
+                    if profiling:
+                        # the trace of the diverging steps is the one you
+                        # most want — flush before raising
+                        jax.profiler.stop_trace()
+                        print(f"profiler trace (divergence abort) written to {run_dir}/profile")
                     raise FloatingPointError(
                         f"non-finite losses at step {int(state.step)}: {bad}"
                     )

@@ -174,6 +174,34 @@ def test_profile_steps_resume_inside_window(tmp_path):
     assert prof.exists() and any(prof.rglob("*")), "trace not written on resume"
 
 
+def test_profile_flushed_on_divergence_abort(tmp_path, monkeypatch):
+    """The NaN-loss abort must flush an in-flight profiler trace before
+    raising — the trace of the diverging steps is the one you most want."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    import train
+    from healthivert_tpu.engine import train_loop as tl
+
+    real_step = tl.train_step
+
+    def nan_step(state, batch, lr, cfg):
+        state, losses = real_step(state, batch, lr, cfg)
+        return state, {k: jnp.float32(jnp.nan) for k in losses}
+
+    monkeypatch.setattr(tl, "train_step", nan_step)
+    with _pytest.raises(FloatingPointError):
+        train.main([
+            "--dataset_mode", "synthetic", "--name", "nanprof", "--model",
+            "pix2pix", "--batch_size", "8", "--crop_size", "64", "--ndf", "8",
+            "--n_epochs", "1", "--n_epochs_decay", "0", "--max_steps", "3",
+            "--profile_steps", "0,100", "--checkpoints_dir", str(tmp_path),
+            "--print_freq", "8", "--save_epoch_freq", "99", "--eval_freq", "99",
+        ])
+    prof = tmp_path / "nanprof" / "profile"
+    assert prof.exists() and any(prof.rglob("*")), "trace lost on divergence"
+
+
 def test_profile_steps_validation(tmp_path):
     import pytest as _pytest
 
