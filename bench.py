@@ -121,6 +121,48 @@ def main():
         best = max(best, sps)
         print(f"# batch {bs}: {sps:.1f} slices/sec", file=sys.stderr)
 
+    # --- int8 post-training-quantized inference at the headline batch ---
+    # Quality is pinned (experiments/int8_{quality,3d_quality}.py: SSIM -0.008,
+    # 3D seg agreement Dice 0.996); this records whether the v5e int8 MXU
+    # (~2x bf16 peak) pays off end-to-end. Set BENCH_INT8=0 to skip.
+    int8_sps = None
+    int8_bs = None
+    if results and os.environ.get("BENCH_INT8", "1") != "0":
+        try:
+            int8_bs = max(results, key=results.get)
+            gen8 = Generator(
+                cnum=cfg.ngf,
+                use_pallas_attention=jax.default_backend() == "tpu",
+                dtype="int8",
+            )
+
+            def infer_step8(g_params, g_sn, batch):
+                bf = {
+                    k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 and v.ndim == 4 else v)
+                    for k, v in batch.items()
+                }
+                f = generator_forward(gen8, g_params, g_sn, bf, cfg, update_sn=False)
+                return f["fake_b"], f["fine_seg_bin"], f["pred2_h"]
+
+            jit8 = jax.jit(infer_step8)
+            ds = SyntheticDataset(batch_size=int8_bs, seed=0, n_volumes=2)
+            batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
+            out = jit8(state.g_params, state.g_sn, batch)  # compile
+            float(jnp.sum(out[2].astype(jnp.float32)))
+            iters = 10
+            int8_sps = 0.0
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    out = jit8(state.g_params, state.g_sn, batch)
+                float(jnp.sum(out[0].astype(jnp.float32)))
+                int8_sps = max(int8_sps, int8_bs * iters / (time.perf_counter() - t0))
+            print(f"# int8 batch {int8_bs}: {int8_sps:.1f} slices/sec",
+                  file=sys.stderr)
+        except Exception as e:  # never lose the headline metric to an aux one
+            int8_sps = None
+            print(f"# int8 bench failed: {e!r}"[:200], file=sys.stderr)
+
     # --- training throughput (BASELINE.json config 2: batch-16 training step,
     # full two-stage + attention + EEM losses, bf16 compute) ---
     train_sps = None
@@ -300,6 +342,9 @@ def main():
         "unit": "slices/sec",
         "vs_baseline": round(best / base, 3),
     }
+    if int8_sps is not None:
+        record["int8_slices_per_sec"] = round(int8_sps, 2)
+        record["int8_batch"] = int8_bs
     if train_sps is not None:
         record["train_slices_per_sec_b16"] = round(train_sps, 2)
     if train_sps_b128 is not None:
