@@ -15,6 +15,7 @@ from typing import Dict
 import jax.numpy as jnp
 import numpy as np
 
+from healthivert_tpu.evaluation.rhlv import _slice_at
 from healthivert_tpu.ops import image as I
 from healthivert_tpu.utils import nifti
 
@@ -92,10 +93,6 @@ def _psnr(a, b, dr):
     return p
 
 
-def _slice_at(vol, z, axis):
-    return vol[:, :, z] if axis == 2 else vol[:, z, :]
-
-
 def process_images(ori_ct_path, fake_ct_path, ori_seg_path, fake_seg_path, axis=2) -> Dict[str, float]:
     ori_ct = nifti.load(ori_ct_path).get_fdata()
     fake_ct = nifti.load(fake_ct_path).get_fdata()
@@ -110,6 +107,13 @@ def process_images(ori_ct_path, fake_ct_path, ori_seg_path, fake_seg_path, axis=
     )
 
     loc = np.where(ori_seg)[axis]
+    if loc.size == 0:
+        # label volume without the expected vertebra id (failed synthesis or
+        # misnamed file): no slices to metric. Zero patch metrics make
+        # evaluate_experiment skip this vertebra entirely, the reference's
+        # behavior for degenerate metric returns (:142-147).
+        out.update(patch_psnr=0.0, patch_ssim=0.0, global_psnr=0.0, global_ssim=0.0)
+        return out
     z0, z1 = int(loc.min()), int(loc.max())
     range_length = z1 - z0 + 1
     new_len = int(range_length * 4 / 5)
@@ -164,10 +168,15 @@ def evaluate_experiment(
     normal_only: bool = True,
 ) -> Dict[str, float]:
     """Average metrics over (val, normal) vertebrae of one experiment dir
-    (generation_eval_sagittal.py:114-162)."""
+    (generation_eval_sagittal.py:114-162). Normal means grade == 0 here —
+    the reference's val_normal_vert filter (:118-120); the <= 1 convention
+    belongs to the TRAINING split (aligned_dataset.py:62), not this eval.
+    Vertebrae whose patch PSNR/SSIM comes back 0 or NaN are excluded from
+    every average, including IoU/Dice (reference :142-147 `continue`s
+    before appending to any list)."""
     sums, n = {}, 0
     for vertebra, grade in split.items():
-        if normal_only and int(grade) > 1:
+        if normal_only and int(grade) != 0:
             continue
         paths = dict(
             ori_ct=os.path.join(ct_folder, vertebra + ".nii.gz"),
@@ -178,6 +187,11 @@ def evaluate_experiment(
         if not all(os.path.exists(p) for p in paths.values()):
             continue
         m = process_images(paths["ori_ct"], paths["fake_ct"], paths["ori_seg"], paths["fake_seg"], axis)
+        if (
+            np.isnan(m["patch_psnr"]) or np.isnan(m["patch_ssim"])
+            or m["patch_psnr"] == 0 or m["patch_ssim"] == 0
+        ):
+            continue
         for k, v in m.items():
             sums[k] = sums.get(k, 0.0) + v
         n += 1

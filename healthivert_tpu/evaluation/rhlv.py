@@ -81,9 +81,16 @@ def calculate_heights(seg_fake, seg_label, height_threshold: float, axis: int = 
 
 
 def calculate_rhlv(seg_fake, seg_label, center_z, length, height_threshold=0.7, axis: int = 2):
-    """RHLV over the central window [center_z - length, center_z + length)."""
+    """RHLV over the central window [center_z - length, center_z + length).
+
+    Deliberate deviation: the start is clamped to 0. The reference
+    (RHLV_quantification.py:125-126) lets center_z - length go negative,
+    which numpy-wraps the slice to an empty window and silently emits an
+    all-zero RHLV row (a fake "healthy" grading input) for labels whose
+    mass sits near the volume edge. Well-formed straightened crops never
+    trigger this, so the oracle parity (tests/test_rhlv_oracle.py) holds."""
     sl = [slice(None)] * 3
-    sl[axis] = slice(center_z - length, center_z + length)
+    sl[axis] = slice(max(0, center_z - length), center_z + length)
     h = calculate_heights(seg_fake[tuple(sl)], seg_label[tuple(sl)], height_threshold, axis)
 
     def mean(a):

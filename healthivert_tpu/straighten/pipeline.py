@@ -122,7 +122,10 @@ def extract_mask_volume(label_data: np.ndarray, label: int, area_threshold: int 
         pts = pts_rc[:, ::-1].astype(np.float64)
         corners, center = ng.min_area_rect(pts)
         scaled = (corners - center) * 1.1 + center
-        bbox = ng.fill_convex_quad(np.rint(scaled).astype(np.int32), (h, w), 255)
+        # fill_convex_quad rints internally (the reference truncates via
+        # np.int0, straighten_mask_3d.py:401-403, so rasters can differ by
+        # ~1 px at corner boundaries; masks are not bit-pinned, labels are)
+        bbox = ng.fill_convex_quad(scaled, (h, w), 255)
         bbox[other[:, :, z]] = 0
         mask_volume[:, :, z] = bbox
     return mask_volume
@@ -160,7 +163,10 @@ def extract_mask_volume_left(label_data: np.ndarray, label: int):
         pts = pts_rc[:, ::-1].astype(np.float64)  # (x=col, y=row)
         corners, center = ng.min_area_rect(pts)
         scaled = (corners - center) * 1.1 + center
-        bbox = ng.fill_convex_quad(np.rint(scaled).astype(np.int32), (h, w), 255)
+        # fill_convex_quad rints internally (the reference truncates via
+        # np.int0, straighten_mask_3d.py:401-403, so rasters can differ by
+        # ~1 px at corner boundaries; masks are not bit-pinned, labels are)
+        bbox = ng.fill_convex_quad(scaled, (h, w), 255)
         bbox[other[:, :, z]] = 0
         mask_volume[:, :, z] = bbox
     return mask_volume

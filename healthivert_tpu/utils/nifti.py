@@ -5,7 +5,9 @@ The reference pipeline does all volume IO through nibabel
 /root/reference/data/aligned_dataset.py:184). nibabel is not available in
 this image, and volume IO is host-side work anyway, so we implement the
 small subset of NIfTI-1 we need: single-file .nii / .nii.gz, scalar dtypes,
-affine via srow or qform-less fallback, optional scl_slope/scl_inter.
+affine via srow, quaternion qform fallback when sform_code == 0, and
+optional scl_slope/scl_inter (non-finite values mean "no scaling", as in
+nibabel).
 
 Data is returned in Fortran (column-major) axis order like nibabel's
 get_fdata(): array[i, j, k] with i fastest-varying on disk.
@@ -61,6 +63,33 @@ def _open(path, mode="rb"):
     return open(path, mode)
 
 
+def _qform_affine(quatern, qoffset, pixdim) -> np.ndarray:
+    """NIfTI-1 'method 2' affine from the qform quaternion (used when
+    sform_code == 0 and qform_code > 0 — common for scanner-written files;
+    nibabel falls back to it the same way). Per the spec: a is recovered
+    from b/c/d, the rotation's third column is scaled by qfac = pixdim[0]
+    (-1 flips the k axis; any other value means +1)."""
+    b, c, d = (float(q) for q in quatern)
+    a2 = 1.0 - (b * b + c * c + d * d)
+    a = np.sqrt(a2) if a2 > 0.0 else 0.0  # rounding can push a2 slightly < 0
+    r = np.array(
+        [
+            [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+            [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
+            [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
+        ],
+        dtype=np.float64,
+    )
+    qfac = -1.0 if pixdim[0] == -1.0 else 1.0
+    zooms = np.array(
+        [abs(pixdim[1]) or 1.0, abs(pixdim[2]) or 1.0, (abs(pixdim[3]) or 1.0) * qfac]
+    )
+    affine = np.eye(4)
+    affine[:3, :3] = r * zooms  # column-wise scaling
+    affine[:3, 3] = qoffset
+    return affine
+
+
 def load(path) -> Nifti1Image:
     """Load a .nii or .nii.gz file."""
     with _open(path, "rb") as f:
@@ -84,7 +113,10 @@ def load(path) -> Nifti1Image:
     srow_x = struct.unpack(endian + "4f", hdr[280:296])
     srow_y = struct.unpack(endian + "4f", hdr[296:312])
     srow_z = struct.unpack(endian + "4f", hdr[312:328])
+    (qform_code,) = struct.unpack(endian + "h", hdr[252:254])
     (sform_code,) = struct.unpack(endian + "h", hdr[254:256])
+    quatern = struct.unpack(endian + "3f", hdr[256:268])
+    qoffset = struct.unpack(endian + "3f", hdr[268:280])
 
     if datatype not in _DTYPES:
         raise ValueError(f"unsupported NIfTI datatype code {datatype}")
@@ -98,12 +130,18 @@ def load(path) -> Nifti1Image:
     # already native-endian, and callers mutate loaded volumes in place.
     data = np.array(data, dtype=data.dtype.newbyteorder("="), order="F")
 
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        data = data * slope + scl_inter
+    # nibabel semantics: a slope of 0, NaN, or inf means "no scaling" (many
+    # writers leave scl_slope/scl_inter as NaN); a non-finite inter is 0.
+    # Applying NaN arithmetic here would silently turn the whole volume NaN.
+    slope = scl_slope if np.isfinite(scl_slope) and scl_slope != 0.0 else 1.0
+    inter = scl_inter if np.isfinite(scl_inter) else 0.0
+    if (slope, inter) != (1.0, 0.0):
+        data = data * slope + inter
 
     if sform_code > 0:
         affine = np.array([srow_x, srow_y, srow_z, [0, 0, 0, 1]], dtype=np.float64)
+    elif qform_code > 0:
+        affine = _qform_affine(quatern, qoffset, pixdim)
     else:
         affine = np.diag([pixdim[1] or 1.0, pixdim[2] or 1.0, pixdim[3] or 1.0, 1.0])
     spacing = tuple(float(abs(p)) or 1.0 for p in pixdim[1:4])
@@ -134,7 +172,9 @@ def save(img: Nifti1Image, path) -> None:
     struct.pack_into("<8f", hdr, 76, *pixdim)
     struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
     struct.pack_into("<2f", hdr, 112, 1.0, 0.0)  # scl_slope/inter
-    struct.pack_into("<h", hdr, 252, 1)  # qform_code (identity-ish)
+    # qform_code 0: we only write an sform; a code of 1 with zeroed
+    # quaternion fields would advertise a bogus identity qform to readers
+    struct.pack_into("<h", hdr, 252, 0)
     struct.pack_into("<h", hdr, 254, 1)  # sform_code
     struct.pack_into("<4f", hdr, 280, *affine[0])
     struct.pack_into("<4f", hdr, 296, *affine[1])

@@ -96,6 +96,67 @@ def test_generation_eval_identity(tmp_path, rng):
     assert avg["patch_psnr"] > 60
 
 
+def test_generation_eval_normal_is_grade_zero_only(tmp_path, rng):
+    """The val-normal cohort is grade == 0 (generation_eval_sagittal.py:118-
+    120); grade-1 (mild fracture) vertebrae must be excluded. The <= 1
+    convention belongs to the training split, not this eval."""
+    ct, lb, _ = make_spine_volume(rng, shape=(128, 128, 32), vert_ids=(19, 20, 21),
+                                  vert_height=18, gap=8)
+    for d in ("CT", "label", "exp/CT_fake", "exp/label_fake"):
+        os.makedirs(tmp_path / d)
+    split = {}
+    for pv, grade in (("case000_20", 0), ("case001_20", 1), ("case002_20", 3)):
+        nifti.save(nifti.Nifti1Image(ct.astype(np.float32)), str(tmp_path / "CT" / f"{pv}.nii.gz"))
+        nifti.save(nifti.Nifti1Image(lb), str(tmp_path / "label" / f"{pv}.nii.gz"))
+        nifti.save(nifti.Nifti1Image(ct.astype(np.float32)), str(tmp_path / "exp/CT_fake" / f"{pv}.nii.gz"))
+        nifti.save(nifti.Nifti1Image(lb), str(tmp_path / "exp/label_fake" / f"{pv}.nii.gz"))
+        split[pv] = grade
+    avg = evaluate_experiment(
+        split, str(tmp_path / "CT"), str(tmp_path / "label"), str(tmp_path / "exp"),
+    )
+    assert avg["count"] == 1  # only the grade-0 vertebra
+
+
+def test_generation_eval_skips_degenerate_vertebrae(tmp_path, rng):
+    """A label volume lacking the expected vertebra id (or with no valid
+    slices) must be skipped — excluded from count and ALL averages, incl.
+    IoU/Dice — not crash or contribute 0.0 rows (reference
+    generation_eval_sagittal.py:142-147 `continue`s on NaN/0 metrics)."""
+    ct, lb, _ = make_spine_volume(rng, shape=(128, 128, 32), vert_ids=(19, 20, 21),
+                                  vert_height=18, gap=8)
+    for d in ("CT", "label", "exp/CT_fake", "exp/label_fake"):
+        os.makedirs(tmp_path / d)
+    good, bad = "case000_20", "case001_20"
+    for pv in (good, bad):
+        # the BAD case's ori label volume has no vertebra-20 voxels at all
+        ori_lb = lb if pv == good else (lb * (lb != 20)).astype(lb.dtype)
+        nifti.save(nifti.Nifti1Image(ct.astype(np.float32)), str(tmp_path / "CT" / f"{pv}.nii.gz"))
+        nifti.save(nifti.Nifti1Image(ori_lb), str(tmp_path / "label" / f"{pv}.nii.gz"))
+        nifti.save(nifti.Nifti1Image(ct.astype(np.float32)), str(tmp_path / "exp/CT_fake" / f"{pv}.nii.gz"))
+        nifti.save(nifti.Nifti1Image(lb), str(tmp_path / "exp/label_fake" / f"{pv}.nii.gz"))
+    avg = evaluate_experiment(
+        {good: 0, bad: 0}, str(tmp_path / "CT"), str(tmp_path / "label"),
+        str(tmp_path / "exp"),
+    )
+    assert avg["count"] == 1
+    assert avg["dice"] == pytest.approx(1.0)  # the bad case's 0.0 not averaged in
+
+
+def test_rhlv_window_clamped_at_volume_edge(rng):
+    """center_z - length < 0 must clamp to 0 (documented deviation: the
+    reference numpy-wraps to an empty window and silently emits all-zero
+    RHLV — a fake 'healthy' row)."""
+    healthy_lb, frac_lb = _volumes(rng, 0.5)
+    fake = (healthy_lb == 20).astype(np.float64)
+    real = (frac_lb == 20).astype(np.float64)
+    loc = np.where(real)[2]
+    # place the window to spill past z=0: center 2, half-length 10
+    a, p, m, po, rel = calculate_rhlv(fake, real, 2, 10)
+    ref = calculate_rhlv(fake, real, 10, 10)  # interior sanity anchor
+    assert (a, p, m, po) != (0.0, 0.0, 0.0, 0.0)
+    assert np.isfinite([a, p, m, po, rel]).all() and abs(ref[0]) > 0
+
+
 def test_rhlv_coronal_axis_consistency(rng):
     """axis=1 on a (X, Z, Y)-swapped volume must equal axis=2 on the original
     (the coronal variant is the same math over the other slicing axis)."""
