@@ -54,7 +54,9 @@ def _save_web_visuals(g_params, g_sn, batch, cfg, run_dir, epoch, iters,
     gen, _ = build_modules(cfg)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     f = generator_forward(gen, g_params, g_sn, jb, cfg, update_sn=False)
-    gallery = HTMLGallery(os.path.join(run_dir, "web"), f"epoch {epoch}")
+    gallery = HTMLGallery(
+        os.path.join(run_dir, "web"), "training progress", history=True
+    )
     visuals = {
         "real_A": np.asarray(jb["context"][0]),
         "fake_B": np.asarray(f["fake_b"][0]),
@@ -63,7 +65,8 @@ def _save_web_visuals(g_params, g_sn, batch, cfg, run_dir, epoch, iters,
         "coarse_seg": np.asarray(f["coarse_seg_bin"][0]),
         "CAM": np.asarray(jb["cam"][0]),
     }
-    save_images(gallery, visuals, f"epoch{epoch:03d}_{iters:07d}")
+    save_images(gallery, visuals, f"epoch{epoch:03d}_{iters:07d}",
+                header=f"epoch [{epoch}] iter {iters}")
     gallery.save()
     if visualizer is not None:
         visualizer.log_images(visuals, iters)

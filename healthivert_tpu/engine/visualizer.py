@@ -25,6 +25,23 @@ def tensor2im(x, lo=-1.0, hi=1.0):
     return (np.clip(x, 0, 1) * 255).astype(np.uint8)
 
 
+# visuals whose label contains one of these are [0,1]-coded (segs/masks/CAM
+# heatmaps/flow RGB); everything else (real_A/fake_B/real_B CT images) is
+# [-1,1]-coded like the reference's fixed tensor2im mapping
+_UNIT_RANGE_TOKENS = ("mask", "seg", "cam", "flow")
+
+
+def visual_to_uint8(label: str, im) -> np.ndarray:
+    """Render a named visual to uint8 by its KNOWN coding, not its content.
+    A content heuristic (im.min() < 0) renders an all-positive CT crop at
+    doubled brightness and a CAM with one tiny negative interpolation
+    artifact as near-uniform gray — the same visual must map identically
+    every step (util/util.py:9-29 uses a fixed [-1,1] mapping)."""
+    if any(t in label.lower() for t in _UNIT_RANGE_TOKENS):
+        return tensor2im(im, 0.0, 1.0)
+    return tensor2im(im)
+
+
 class Visualizer:
     def __init__(self, opt):
         self.opt = opt
@@ -77,30 +94,52 @@ class Visualizer:
 
         imgs = {}
         for label, im in visuals.items():
-            arr = tensor2im(im) if im.min() < 0 else tensor2im(im, 0.0, 1.0)
-            imgs[label] = wandb.Image(arr, caption=label)
+            imgs[label] = wandb.Image(visual_to_uint8(label, im), caption=label)
         self.wandb.log(imgs, step=step)
 
 
 class HTMLGallery:
-    """Minimal dominate/HTML replacement (util/html.py:6-86)."""
+    """Minimal dominate/HTML replacement (util/html.py:6-86).
 
-    def __init__(self, web_dir: str, title: str):
+    With history=True, rows accumulate in {web_dir}/rows.jsonl across
+    gallery instances (and process restarts) and save() renders ALL of
+    them newest-first — the reference's training page lists every epoch
+    from current down to 1 (util/visualizer.py:198-211), not only the
+    latest row."""
+
+    def __init__(self, web_dir: str, title: str, history: bool = False):
         self.web_dir = web_dir
         self.img_dir = os.path.join(web_dir, "images")
         os.makedirs(self.img_dir, exist_ok=True)
         self.title = title
         self.rows = []
+        self.history_path = os.path.join(web_dir, "rows.jsonl") if history else None
 
-    def add_images(self, ims, txts, width=256):
-        self.rows.append((list(ims), list(txts), width))
+    def add_images(self, ims, txts, width=256, header=None):
+        row = (list(ims), list(txts), width, header)
+        self.rows.append(row)
+        if self.history_path:
+            with open(self.history_path, "a") as f:
+                f.write(json.dumps(
+                    {"ims": row[0], "txts": row[1], "width": width, "header": header}
+                ) + "\n")
 
     def save(self):
+        rows = self.rows
+        if self.history_path and os.path.exists(self.history_path):
+            with open(self.history_path) as f:
+                loaded = [json.loads(line) for line in f if line.strip()]
+            rows = [
+                (r["ims"], r["txts"], r["width"], r.get("header"))
+                for r in reversed(loaded)  # newest first, like the reference
+            ]
         parts = [
             f"<!DOCTYPE html><html><head><title>{self.title}</title></head><body>",
             f"<h1>{self.title}</h1>",
         ]
-        for ims, txts, width in self.rows:
+        for ims, txts, width, header in rows:
+            if header:
+                parts.append(f"<h3>{header}</h3>")
             parts.append("<table border='1' style='border-collapse:collapse'><tr>")
             for im, txt in zip(ims, txts):
                 parts.append(
@@ -113,15 +152,16 @@ class HTMLGallery:
             f.write("\n".join(parts))
 
 
-def save_images(gallery: HTMLGallery, visuals: Dict[str, np.ndarray], name: str, width=256):
+def save_images(gallery: HTMLGallery, visuals: Dict[str, np.ndarray], name: str,
+                width=256, header=None):
     """Write one result row (util/visualizer.py:21-52)."""
     from PIL import Image
 
     ims, txts = [], []
     for label, im in visuals.items():
-        arr = tensor2im(im) if im.min() < 0 else tensor2im(im, 0.0, 1.0)
+        arr = visual_to_uint8(label, im)
         fname = f"{name}_{label}.png"
         Image.fromarray(arr).save(os.path.join(gallery.img_dir, fname))
         ims.append(fname)
         txts.append(label)
-    gallery.add_images(ims, txts, width)
+    gallery.add_images(ims, txts, width, header=header)

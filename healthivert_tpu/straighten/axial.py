@@ -61,10 +61,18 @@ def get_vertbody(seg0: np.ndarray):
 
 
 def process_spine_data(ct_data, label_data, label_id: int, output_size=(224, 224)):
-    """Axial mid-slice crop + de-process mask (mask_extract.py:70-175).
+    """Axial mid-slice crop + de-process mask (mask_extract.py:70-191).
 
-    Returns dict with the 224^2 CT/label center crops, the 1.2x min-area-rect
-    mask (other-vertebra pixels removed), and the masked slices."""
+    Returns dict with the output_size CT/label center crops, the 1.2x
+    min-area-rect mask, and the masked slices — ALL cropped to output_size
+    through the same center window, like the reference's returns
+    (mask_extract.py:177-191). Returns None when no vertebral-body
+    component survives isolation (the reference crashes on an empty
+    contour list there). Like the reference, only output_size[0] is used
+    (square crops); non-square sizes are rejected."""
+    if output_size[0] != output_size[1]:
+        raise ValueError("process_spine_data crops are square (reference "
+                         f"uses output_size[0] only); got {output_size}")
     label = int(label_id)
     binary_label = np.where(label_data != 0, 255.0, 0.0)
     ct_data = window(ct_data.astype(np.float64), -300, 800)
@@ -80,6 +88,10 @@ def process_spine_data(ct_data, label_data, label_id: int, output_size=(224, 224
     _, body, _ = get_vertbody(img2d)
 
     pts = np.where(body == 1)
+    if pts[0].size == 0:
+        # num==0 in get_vertbody, or the seg0 intersection erased the
+        # selected component (dilation-bridged pixels only)
+        return None
     aligned = np.zeros_like(label_data[:, :, 0], np.uint8)
     aligned[pts[0] + z0, pts[1] + y0] = 1
     center_y = int(np.mean(pts[0]) + z0)
@@ -89,27 +101,27 @@ def process_spine_data(ct_data, label_data, label_id: int, output_size=(224, 224
     center_label_slice = binary_label[:, :, center_z].copy()
 
     half = output_size[0] // 2
-    rect_slice = np.zeros(output_size)
-    rect_label_slice = np.zeros(output_size)
     min_y = max(0, half - center_y)
     max_y = min(output_size[0], half + (center_slice.shape[0] - center_y))
     min_x = max(0, half - center_x)
     max_x = min(output_size[0], half + (center_slice.shape[1] - center_x))
-    rect_slice[min_y:max_y, min_x:max_x] = center_slice[
-        max(center_y - half, 0) : min(center_y + half, center_slice.shape[0]),
-        max(center_x - half, 0) : min(center_x + half, center_slice.shape[1]),
-    ]
-    rect_label_slice[min_y:max_y, min_x:max_x] = center_label_slice[
-        max(center_y - half, 0) : min(center_y + half, center_slice.shape[0]),
-        max(center_x - half, 0) : min(center_x + half, center_slice.shape[1]),
-    ]
 
-    # 1.2x-scaled min-area-rect of the body, other vertebrae removed
+    def _crop(src):
+        out = np.zeros(output_size, dtype=src.dtype)
+        out[min_y:max_y, min_x:max_x] = src[
+            max(center_y - half, 0) : min(center_y + half, src.shape[0]),
+            max(center_x - half, 0) : min(center_x + half, src.shape[1]),
+        ]
+        return out
+
+    # 1.2x-scaled min-area-rect of the body; other-vertebra pixels removed
+    # for labels 8..25 only (mask_extract.py:160-168 — cervical labels stay)
     pts_xy = np.argwhere(aligned)[:, ::-1].astype(np.float64)
     corners, center = ng.min_area_rect(pts_xy)
     scaled = (corners - center) * 1.2 + center
     bbox = ng.fill_convex_quad(np.rint(scaled).astype(np.int32), aligned.shape, 255)
-    other = (label_data[:, :, center_z] != label) & (label_data[:, :, center_z] != 0)
+    lab_slice = label_data[:, :, center_z]
+    other = (lab_slice != label) & (lab_slice >= 8) & (lab_slice <= 25)
     bbox[other] = 0
 
     masked_image = center_slice.copy()
@@ -117,11 +129,11 @@ def process_spine_data(ct_data, label_data, label_id: int, output_size=(224, 224
     masked_label = center_label_slice.copy()
     masked_label[bbox == 255] = 0
     return dict(
-        ct_crop=rect_slice,
-        label_crop=rect_label_slice,
-        mask=bbox,
-        masked_image=masked_image,
-        masked_label=masked_label,
+        ct_crop=_crop(center_slice),
+        label_crop=_crop(center_label_slice),
+        mask=_crop(bbox),
+        masked_image=_crop(masked_image),
+        masked_label=_crop(masked_label),
         center=(center_y, center_x),
         center_z=center_z,
     )

@@ -356,7 +356,10 @@ def _merge_validated(dst, src, path=""):
             want = np.shape(v)
             if tuple(have) != tuple(want):
                 raise ValueError(f"shape mismatch at {p}: model {have} vs pth {want}")
-            merged[k] = np.asarray(v, np.asarray(dst[k]).dtype if hasattr(dst[k], "dtype") else np.float32)
+            # dst leaves can be live device arrays: read .dtype directly —
+            # np.asarray would force a full D2H copy per parameter (~0.5-1 s
+            # each through the tunnel)
+            merged[k] = np.asarray(v, dst[k].dtype if hasattr(dst[k], "dtype") else np.float32)
             n += 1
     return merged, n
 
@@ -366,7 +369,9 @@ def load_generator_pth(path: str, params, sn) -> Tuple[dict, dict, int]:
     initialized (params, sn) pair. Returns (params, sn, n_loaded_leaves)."""
     state = read_pth(path)
     # base_model.py saves bare state dicts; some tools nest under 'state_dict'
-    if "state_dict" in state and not any("." in k for k in state):
+    # (read_pth flattens with dotted keys, so the nesting shows up as a
+    # 'state_dict.' prefix on every parameter key)
+    if any(k.startswith("state_dict.") for k in state):
         state = {k[len("state_dict."):]: v for k, v in state.items() if k.startswith("state_dict.")}
     p_new, sn_new = map_generator_state(state)
     params, n1 = _merge_validated(params, p_new)

@@ -67,6 +67,39 @@ def test_tensor2im_ranges():
     np.testing.assert_array_equal(tensor2im(y, 0.0, 1.0), [[0, 127, 255]])
 
 
+def test_visual_rendering_keyed_by_label_not_content():
+    """The same visual must map identically regardless of its pixel content:
+    an all-positive CT crop stays on the [-1,1] mapping, and a CAM/seg with a
+    tiny negative artifact stays on [0,1] (code-review r3: the old
+    im.min()<0 heuristic doubled brightness / flattened CAMs)."""
+    from healthivert_tpu.engine.visualizer import visual_to_uint8
+
+    ct = np.array([[0.0, 0.5, 1.0]])  # all-positive CT content
+    np.testing.assert_array_equal(visual_to_uint8("fake_B", ct), [[127, 191, 255]])
+    cam = np.array([[-0.001, 0.5, 1.0]])  # tiny negative artifact
+    got = visual_to_uint8("CAM", cam)
+    np.testing.assert_array_equal(got, [[0, 127, 255]])
+    seg = np.array([[0.0, 1.0]])
+    np.testing.assert_array_equal(visual_to_uint8("fake_B_mask", seg), [[0, 255]])
+    flow = np.array([[0.0, 1.0]])
+    np.testing.assert_array_equal(visual_to_uint8("offset_flow", flow), [[0, 255]])
+
+
+def test_html_gallery_history_accumulates(tmp_path, rng):
+    """history=True galleries rebuild index.html from ALL rows ever written
+    (newest first), across instances — the reference training page lists
+    every epoch, not only the latest (util/visualizer.py:198-211)."""
+    web = str(tmp_path / "web")
+    for epoch in (1, 2):
+        g = HTMLGallery(web, "training progress", history=True)
+        save_images(g, {"fake": rng.random((8, 8, 1)).astype(np.float32)},
+                    f"epoch{epoch:03d}", header=f"epoch [{epoch}]")
+        g.save()
+    html = (tmp_path / "web" / "index.html").read_text()
+    assert "epoch001_fake.png" in html and "epoch002_fake.png" in html
+    assert html.index("epoch [2]") < html.index("epoch [1]")  # newest first
+
+
 def test_prefetch_order_and_errors():
     out = list(prefetch_to_device(range(5), lambda x: x * 2))
     assert out == [0, 2, 4, 6, 8]

@@ -105,6 +105,34 @@ def test_generator_pth_maps_into_flax_tree(tmp_path):
     assert np.isfinite(float(jnp.sum(out.x_stage2)))
 
 
+def test_generator_pth_nested_state_dict(tmp_path):
+    """Checkpoints saved as torch.save({'state_dict': sd}) must unwrap and
+    load identically to the flat layout (the flattened reader shows the
+    nesting as a 'state_dict.' key prefix — code-review r3 found the old
+    unwrap condition could never fire)."""
+    from healthivert_tpu.models.generator import Generator
+
+    gen = Generator(cnum=4)
+    x = jnp.zeros((1, 64, 64, 1))
+    variables = gen.init(jax.random.PRNGKey(0), x, x, x, jnp.zeros((1,)))
+    params0, sn0 = variables["params"], variables["sn"]
+    rng = np.random.default_rng(2)
+    params_rand = jax.tree_util.tree_map(
+        lambda a: rng.standard_normal(a.shape).astype(np.float32), params0
+    )
+    sn_rand = jax.tree_util.tree_map(
+        lambda a: rng.standard_normal(a.shape).astype(np.float32), sn0
+    )
+    p = str(tmp_path / "nested.pth")
+    torch.save({"state_dict": _tree_to_torch_sd(params_rand, sn_rand)}, p)
+    params1, _, n = load_generator_pth(p, params0, sn0)
+    assert n > 90
+    for got, want in zip(
+        jax.tree_util.tree_leaves(params1), jax.tree_util.tree_leaves(params_rand)
+    ):
+        np.testing.assert_allclose(np.asarray(got), want)
+
+
 def test_pth_shape_mismatch_raises(tmp_path):
     sd = {"coarse_generator.conv1.conv.weight_orig": torch.zeros(4, 3, 9, 9),
           "coarse_generator.conv1.conv.bias": torch.zeros(4)}

@@ -134,13 +134,26 @@ def test_axial_mask_extraction(rng):
 
     ct = rng.normal(100, 30, (128, 128, 20))
     labels = np.zeros((128, 128, 20))
-    labels[40:70, 30:60, 5:15] = 20
-    labels[80:100, 30:60, 5:15] = 21
+    labels[40:70, 30:60, 5:15] = 20   # target body
+    labels[71:74, 30:60, 5:15] = 21   # neighbor inside the 1.2x rect
+    labels[38:40, 30:60, 5:15] = 5    # cervical label inside the rect
     res = process_spine_data(ct, labels, 20, (96, 96))
-    assert res["ct_crop"].shape == (96, 96)
-    assert res["mask"][50, 45] == 255  # inside the body rect
-    assert (res["mask"][labels[:, :, res["center_z"]] == 21] == 0).all()
+    # every returned image is cropped to output_size through the same center
+    # window (mask_extract.py:177-191)
+    assert all(res[k].shape == (96, 96)
+               for k in ("ct_crop", "label_crop", "mask", "masked_image", "masked_label"))
+    cy, cx = res["center"]
+    cc = lambda r, c: (r - cy + 48, c - cx + 48)  # full -> crop coords
+    assert res["mask"][cc(55, 45)] == 255  # inside the body rect
+    assert res["mask"][cc(71, 45)] == 0    # vert 21 removed (labels 8..25)
+    assert res["mask"][cc(38, 45)] == 255  # label 5 exempt (reference loops 8..25)
     assert res["masked_image"][res["mask"] == 255].sum() == 0
+
+    # a label whose mid-slice is empty: no body component -> None, not NaN crash
+    labels2 = np.zeros((64, 64, 12))
+    labels2[20:30, 20:30, 2] = 22
+    labels2[20:30, 20:30, 8] = 22  # center_z = 5 has no pixels
+    assert process_spine_data(ct[:64, :64, :12], labels2, 22, (48, 48)) is None
 
 
 # --------------------------------------------------- C21 alternates (round 2)
