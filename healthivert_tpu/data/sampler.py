@@ -40,6 +40,11 @@ def weighted_slice(rng: np.random.Generator, z0: int, z1: int):
     """Pyramid-weighted random z in the central 4/5 of [z0, z1]."""
     range_length = z1 - z0 + 1
     new_len = int(range_length * 4 / 5)
+    if new_len < 1:
+        # single-slice extents (edge-truncated vertebrae): 4/5 rounds to an
+        # empty candidate range and rng.choice would raise 'a cannot be
+        # empty' out of the retry loop — use the full extent instead
+        new_len = range_length
     nz0 = z0 + (range_length - new_len) // 2
     nz1 = nz0 + new_len - 1
     center = (nz0 + nz1) // 2
@@ -141,7 +146,11 @@ def build_example(
         context=to_unit(ctx)[..., None] * 2 - 1,
         vert_seg=to_unit(vert[:, :, z] * 255)[..., None],
         mask=to_unit(mask * 255)[..., None],
-        normal_vert=to_unit(normal * 255)[..., None],
+        # the SHIFTED mask, like the reference's normal_vert_label_slice
+        # (aligned_dataset.py:240-243): normal neighbors live in the flanks,
+        # which the context shift moves — the coarse-Dice target must stay
+        # aligned with the context the generator actually sees
+        normal_vert=to_unit(normal_shift * 255)[..., None],
         cam=to_unit(cam_shift)[..., None],
         height=np.int32(x2 - x1),
         x1=np.int32(x1),

@@ -33,7 +33,8 @@ def evaluate_svm(filepath: str, features: Sequence[str], output_txt: str) -> dic
     from sklearn.preprocessing import StandardScaler
     from sklearn.svm import SVC
 
-    data = read_rows(filepath)
+    # accept a pre-built DataFrame (the 2.5D merge) or a table path
+    data = filepath if hasattr(filepath, "columns") else read_rows(filepath)
     tt = data[data["Dataset"].isin(["train", "test"])]
     val = data[data["Dataset"] == "val"]
 
@@ -100,11 +101,5 @@ def merge_25d(sagittal_path: str, coronal_path: str):
 
 
 def evaluate_svm_25d(sagittal_path: str, coronal_path: str, output_txt: str) -> dict:
-    import tempfile
-    import os
-
     merged, features = merge_25d(sagittal_path, coronal_path)
-    with tempfile.TemporaryDirectory() as td:
-        p = os.path.join(td, "merged.csv")
-        merged.to_csv(p, index=False)
-        return evaluate_svm(p, features, output_txt)
+    return evaluate_svm(merged, features, output_txt)

@@ -11,10 +11,12 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
 _LIB = None
+_LOAD_LOCK = threading.Lock()  # loaders run in host data threads
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native"
 )
@@ -23,6 +25,17 @@ _NATIVE_DIR = os.path.join(
 def _load():
     global _LIB
     if _LIB is not None:
+        return _LIB
+    with _LOAD_LOCK:
+        return _load_locked()
+
+
+def _load_locked():
+    """Build + dlopen under _LOAD_LOCK: concurrent first calls must not race
+    `make` against a half-written .so (one OSError would pin the process to
+    the slow fallbacks for its lifetime)."""
+    global _LIB
+    if _LIB is not None:  # another thread finished while we waited
         return _LIB
     so = os.path.join(_NATIVE_DIR, "libhv_geometry.so")
     if not os.path.exists(so):
@@ -168,8 +181,16 @@ def fill_convex_quad(corners: np.ndarray, shape, value: int = 255) -> np.ndarray
                 xs.append(px[i] + (px[j] - px[i]) * (y - ay) / (by - ay))
         if not xs:
             continue
-        xa = max(int(np.round(min(xs))), 0)
-        xb = min(int(np.round(max(xs))), w - 1)
+        # half-away-from-zero like the native kernel's std::lround —
+        # np.round's half-to-even would rasterize different pixels on the
+        # routine exact-.5 intersections of integer corners
+        xa = max(_lround(min(xs)), 0)
+        xb = min(_lround(max(xs)), w - 1)
         if xb >= xa:
             img[y, xa : xb + 1] = value
     return img
+
+
+def _lround(v: float) -> int:
+    """std::lround semantics: round half away from zero."""
+    return int(np.floor(v + 0.5)) if v >= 0 else int(np.ceil(v - 0.5))

@@ -145,6 +145,23 @@ void min_area_rect(const double* xs, const double* ys, int n, double* out) {
             bcy = 0.5 * (mn_e + mx_e) * ey + 0.5 * (mn_n + mx_n) * ny;
         }
     }
+    if (best_area >= 1e300) {
+        // every hull edge was degenerate (e.g. n duplicate identical
+        // points -> a 2-identical-point hull): fall back to the axis-
+        // aligned bbox of the hull instead of returning the zero rect
+        double mnx = hx[0], mxx = hx[0], mny = hy[0], mxy = hy[0];
+        for (int p = 1; p < k; ++p) {
+            mnx = std::min(mnx, hx[p]); mxx = std::max(mxx, hx[p]);
+            mny = std::min(mny, hy[p]); mxy = std::max(mxy, hy[p]);
+        }
+        double corners[4][2] = {{mnx, mny}, {mxx, mny}, {mxx, mxy}, {mnx, mxy}};
+        for (int c = 0; c < 4; ++c) {
+            out[2 * c] = corners[c][0];
+            out[2 * c + 1] = corners[c][1];
+        }
+        out[8] = 0.5 * (mnx + mxx); out[9] = 0.5 * (mny + mxy);
+        return;
+    }
     std::memcpy(out, bc, sizeof(bc));
     out[8] = bcx; out[9] = bcy;
 }

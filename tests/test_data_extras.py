@@ -32,6 +32,60 @@ def test_get_transform_none_mode(rng):
     assert -1.0 <= out.min() and out.max() <= 1.0
 
 
+def test_resize_matches_torchvision_bicubic(rng):
+    """Resample parity with the reference transform chain: torchvision's
+    Resize on a PIL image with the default BICUBIC method
+    (base_dataset.py:82,117-127). The old numpy-bilinear resize silently
+    deviated (code-review r3)."""
+    import pytest
+
+    torchvision = pytest.importorskip("torchvision")
+    from PIL import Image
+
+    from healthivert_tpu.data.transforms import resize
+
+    img = (rng.random((50, 38)) * 255).astype(np.float32)
+    ours = resize(img, 32, 28, "bicubic")
+    ref = torchvision.transforms.Resize(
+        (32, 28), torchvision.transforms.InterpolationMode.BICUBIC
+    )(Image.fromarray(img, mode="F"))
+    np.testing.assert_allclose(ours, np.asarray(ref, np.float64), atol=1e-4)
+
+
+def test_resize_bicubic_golden():
+    """Golden constants for the PIL bicubic kernel (precomputed from
+    PIL.Image.resize) — catches any accidental kernel/method change even
+    though torchvision is absent from this image."""
+    from healthivert_tpu.data.transforms import resize
+
+    img = np.arange(16, dtype=np.float32).reshape(4, 4) * 10
+    want = np.array([
+        [25.37038803, 38.47107315, 51.57175827],
+        [98.42823792, 111.52892303, 124.62961578],
+    ])
+    np.testing.assert_allclose(resize(img, 2, 3, "bicubic"), want, atol=1e-6)
+
+
+def test_get_transform_shared_params_and_normalize(rng):
+    """params= (from get_params) must give paired images identical crop and
+    flip; normalize=False stops at the [0,1] ToTensor scaling
+    (base_dataset.py:64-115 signature)."""
+    from healthivert_tpu.data.transforms import get_params, get_transform
+
+    opt = types.SimpleNamespace(
+        preprocess="resize_and_crop", no_flip=False, load_size=64, crop_size=32
+    )
+    params = get_params(opt, (80, 100), np.random.default_rng(0))
+    a = (rng.random((100, 80)) * 255)
+    ta = get_transform(opt, params=params)(a)
+    tb = get_transform(opt, params=params)(a)
+    np.testing.assert_array_equal(ta, tb)  # same crop_pos + flip, no RNG
+
+    mask = np.full((100, 80), 255.0)
+    tm = get_transform(opt, params=params, normalize=False)(mask)
+    assert tm.max() <= 1.0 and tm.min() >= 0.0 and tm.mean() > 0.9
+
+
 def test_get_transform_resize_crop(rng):
     opt = types.SimpleNamespace(
         preprocess="resize_and_crop", no_flip=True, load_size=64, crop_size=32
@@ -97,6 +151,44 @@ def _epoch_batches(ds, n_epochs=2):
         for b in ds:
             out.append(b)
     return out
+
+
+def test_build_example_normal_vert_is_shifted(rng):
+    """normal_vert must be the SHIFTED neighbor mask, aligned with the
+    shifted context the generator sees (reference aligned_dataset.py:240-243
+    returns normal_vert_label_slice built with the same flank shift) —
+    code-review r3 found the unshifted mask was returned."""
+    from healthivert_tpu.data.sampler import band_and_shift, build_example, shift_rows
+
+    H, W, Z = 64, 64, 10
+    ct = np.full((H, W, Z), 120.0)
+    labels = np.zeros((H, W, Z), np.int32)
+    labels[28:39, 10:40, :] = 20   # target: height 10 < maxheight
+    labels[16:27, 10:40, :] = 19   # normal neighbor directly above
+    ex = build_example(np.random.default_rng(0), ct, labels, 20, normal_ids={19})
+
+    x1, x2 = int(ex["x1"]), int(ex["x2"])
+    # slice geometry is z-invariant here, so recompute the expected shift
+    unshifted = (labels[:, :, 0] == 19).astype(np.float64)
+    min_x, max_x, _, _ = band_and_shift(ct[:, :, 0], x1, x2)
+    expected = shift_rows(unshifted, x1, x2, min_x, max_x)
+    got = ex["normal_vert"][..., 0]
+    np.testing.assert_array_equal(got, expected)
+    assert not np.array_equal(expected, unshifted)  # the shift must bite
+
+
+def test_build_example_single_slice_extent(rng):
+    """A vertebra whose mask spans ONE z-slice must sample that slice (the
+    4/5 central window rounds to an empty range; rng.choice raised
+    'a cannot be empty' before the fallback)."""
+    from healthivert_tpu.data.sampler import build_example
+
+    H, W, Z = 64, 64, 8
+    ct = np.full((H, W, Z), 120.0)
+    labels = np.zeros((H, W, Z), np.int32)
+    labels[28:39, 10:40, 3] = 20
+    ex = build_example(np.random.default_rng(0), ct, labels, 20, normal_ids=set())
+    assert ex["slice_ratio"] == 0.0 and ex["height"] == 10
 
 
 def test_volume_cache_batches_bit_identical(tmp_path):

@@ -96,3 +96,43 @@ def test_min_area_rect_empty_raises():
 
     with pytest.raises(ValueError):
         ng.min_area_rect(np.zeros((0, 2)))
+
+
+def test_min_area_rect_duplicate_points_both_paths():
+    """n identical points degenerate the hull to duplicates; the native
+    kernel used to skip every zero-length caliper edge and return the
+    all-zero rect (code-review r3) — both paths must return the point."""
+    import numpy as np
+
+    from healthivert_tpu.ops import native_geometry as ng
+
+    pts = np.tile([[7.0, 3.0]], (5, 1))
+    for impl in (ng.min_area_rect, ng._min_area_rect_np):
+        c, ctr = impl(pts)
+        np.testing.assert_allclose(c, [[7, 3]] * 4)
+        np.testing.assert_allclose(ctr, [7, 3])
+
+
+def test_fill_convex_quad_native_fallback_parity():
+    """The numpy fallback must rasterize the SAME pixels as the native
+    kernel (std::lround = half away from zero; np.round's half-to-even
+    differed on the routine exact-.5 intersections of integer corners)."""
+    import numpy as np
+    import pytest
+
+    from healthivert_tpu.ops import native_geometry as ng
+
+    if not ng.have_native():
+        pytest.skip("native geometry lib unavailable")
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        quad_pts = rng.integers(0, 30, (6, 2)).astype(np.float64)
+        corners, _ = ng.min_area_rect(quad_pts)
+        native = ng.fill_convex_quad(corners, (32, 32))
+        lib = ng._LIB
+        ng._LIB = False
+        try:
+            fallback = ng.fill_convex_quad(corners, (32, 32))
+        finally:
+            ng._LIB = lib
+        np.testing.assert_array_equal(native, fallback)
