@@ -55,7 +55,16 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--gpu_ids", type=str, default="0",
+        help="-1 selects the CPU backend (reference base_options.py:131-139 "
+        "semantics), like every other CLI in this repo",
+    )
     args = p.parse_args(argv)
+
+    from healthivert_tpu.config.options import Options
+
+    Options._apply_device_options(args)
 
     import jax
     import jax.numpy as jnp

@@ -37,7 +37,10 @@ def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--netG", type=str, default="unet_256")
     parser.add_argument("--n_layers_D", type=int, default=3)
     parser.add_argument("--norm", type=str, default="instance")
-    parser.add_argument("--init_type", type=str, default="normal")
+    parser.add_argument(
+        "--init_type", type=str, default="normal",
+        choices=["normal", "xavier", "kaiming", "orthogonal"],
+    )
     parser.add_argument("--init_gain", type=float, default=0.02)
     parser.add_argument("--no_dropout", action="store_true")
     # dataset parameters

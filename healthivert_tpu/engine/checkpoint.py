@@ -58,6 +58,22 @@ def resolve_tag(opt) -> str:
     return f"iter_{load_iter}" if load_iter > 0 else str(opt.epoch)
 
 
+def save_generator(state, directory: str, tag: str = "generator"):
+    """Export a generator-only checkpoint ({'g_params','g_sn'}) — the
+    shippable artifact format of checkpoints/pretrained_synthetic (the full
+    TrainState with 3 discriminators + optimizer moments is ~30x larger).
+    Inverse of restore_generator."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(_abs(directory), str(tag))
+    ckptr = ocp.StandardCheckpointer()
+    pure = serialization.to_state_dict(
+        jax.device_get({"g_params": state.g_params, "g_sn": state.g_sn})
+    )
+    ckptr.save(path, pure, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
 def restore_generator(state, directory: str, tag: str = "generator"):
     """Restore a generator-only checkpoint ({'g_params','g_sn'}, e.g. the
     shipped checkpoints/pretrained_synthetic/generator) into a TrainState."""

@@ -107,6 +107,8 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         beta1=opt.beta1,
         lambda_l1=getattr(opt, "lambda_L1", 200.0),
         gan_mode=opt.gan_mode,
+        init_type=getattr(opt, "init_type", "normal"),
+        init_gain=getattr(opt, "init_gain", 0.02),
         image_size=opt.crop_size,
         compute_dtype=getattr(opt, "compute_dtype", "float32"),
         # MEASURED (v5e bf16, experiments/bwd_prof.py): with the kernel

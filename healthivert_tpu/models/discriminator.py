@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import normal_init
+from .layers import normal_init, weight_init
 
 
 class NLayerDiscriminator(nn.Module):
@@ -30,6 +30,8 @@ class NLayerDiscriminator(nn.Module):
     n_layers: int = 3
     norm: str = "batch"  # batch | instance | none
     dtype: Any = None
+    init_type: str = "normal"  # normal | xavier | kaiming | orthogonal
+    init_gain: float = 0.02
 
     def _norm(self, train: bool, name: str):
         if self.norm == "batch":
@@ -37,7 +39,7 @@ class NLayerDiscriminator(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                scale_init=normal_init(0.02, mean=1.0),
+                scale_init=normal_init(self.init_gain, mean=1.0),
                 name=name,
             )
         if self.norm == "instance":
@@ -55,7 +57,7 @@ class NLayerDiscriminator(nn.Module):
             strides=(s, s),
             padding=((1, 1), (1, 1)),
             use_bias=bias,
-            kernel_init=normal_init(0.02),
+            kernel_init=weight_init(self.init_type, self.init_gain),
             dtype=self.dtype,
             name=name,
         )
@@ -81,11 +83,14 @@ class PixelDiscriminator(nn.Module):
     ndf: int = 64
     norm: str = "batch"
     dtype: Any = None
+    init_type: str = "normal"
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         conv = lambda f, name, bias=True: nn.Conv(
-            f, (1, 1), use_bias=bias, kernel_init=normal_init(0.02), dtype=self.dtype, name=name
+            f, (1, 1), use_bias=bias, kernel_init=weight_init(self.init_type, self.init_gain),
+            dtype=self.dtype, name=name
         )
         h = nn.leaky_relu(conv(self.ndf, "conv0")(x), 0.2)
         h = conv(self.ndf * 2, "conv1", bias=self.norm == "instance")(h)
@@ -94,7 +99,7 @@ class PixelDiscriminator(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                scale_init=normal_init(0.02, mean=1.0),
+                scale_init=normal_init(self.init_gain, mean=1.0),
                 name="norm1",
             )(h)
         elif self.norm == "instance":

@@ -108,14 +108,36 @@ class SNConv(nn.Module):
         0.9249, Dice/IoU unchanged)."""
         f32 = jnp.float32
         xf = x.astype(f32)
-        # PER-SAMPLE activation scale: a whole-batch max would make each
-        # sample's output depend on what else shares the dispatch, breaking
-        # the serial-vs-batched / mesh-vs-unmeshed equivalence every other
-        # dtype upholds (code-review r3). Conv is linear per sample, so a
-        # per-sample scale dequantizes exactly.
-        sx = jnp.maximum(
-            jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True), 1e-12
-        ) / 127.0
+        # Calibration sow: when applied with mutable=["calib"] (see
+        # pix2pix.calibrate_int8) each conv records its per-tensor activation
+        # absmax; outside calibration the expression is dead and XLA removes
+        # it.
+        if not self.is_initializing() and self.is_mutable_collection("calib"):
+            self.sow(
+                "calib",
+                "act_absmax",
+                jnp.max(jnp.abs(xf)),
+                init_fn=lambda: jnp.zeros((), f32),
+                reduce_fn=jnp.maximum,
+            )
+        if self.has_variable("quant", "act_scale"):
+            # STATIC calibrated per-tensor scale (a constant): the dynamic
+            # path below costs ~3 extra HBM sweeps per conv (abs -> reduce_max
+            # -> quantize as separate passes); with a constant scale the
+            # quantize fuses into the producer and the reduction disappears —
+            # the difference between int8 losing and winning vs bf16 (r4,
+            # experiments/int8_bench.py). Constants are trivially
+            # batch-composition invariant.
+            sx = jnp.maximum(self.get_variable("quant", "act_scale"), 1e-12)
+        else:
+            # PER-SAMPLE dynamic activation scale: a whole-batch max would
+            # make each sample's output depend on what else shares the
+            # dispatch, breaking the serial-vs-batched / mesh-vs-unmeshed
+            # equivalence every other dtype upholds (code-review r3). Conv is
+            # linear per sample, so a per-sample scale dequantizes exactly.
+            sx = jnp.maximum(
+                jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True), 1e-12
+            ) / 127.0
         qx = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
         kf = kernel.astype(f32)
         sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
@@ -173,3 +195,30 @@ def normal_init(stddev=0.02, mean=0.0):
         return mean + stddev * jax.random.normal(key, shape, dtype)
 
     return init
+
+
+def weight_init(init_type: str = "normal", init_gain: float = 0.02):
+    """Conv/linear kernel initializer selected by --init_type/--init_gain.
+
+    init_weights parity (/root/reference/models/networks.py:68-99):
+      normal      -> N(0, init_gain)
+      xavier      -> xavier_normal_(gain): std = gain*sqrt(2/(fan_in+fan_out))
+      kaiming     -> kaiming_normal_(a=0, fan_in): std = sqrt(2/fan_in)
+                     (the reference passes no gain here; init_gain is ignored)
+      orthogonal  -> orthogonal_(gain)
+    torch's fan convention for conv weights (fan_in = in_ch*kh*kw) matches
+    jax's, so variance_scaling reproduces the torch std exactly. BatchNorm
+    scales always use normal_init(init_gain, 1.0) regardless of the scheme
+    (networks.py:94-96) — callers handle that separately.
+    """
+    if init_type == "normal":
+        return normal_init(init_gain)
+    if init_type == "xavier":
+        return nn.initializers.variance_scaling(init_gain**2, "fan_avg", "normal")
+    if init_type == "kaiming":
+        return nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    if init_type == "orthogonal":
+        return nn.initializers.orthogonal(scale=init_gain, column_axis=-1)
+    raise NotImplementedError(
+        f"initialization method [{init_type}] is not implemented"
+    )

@@ -58,6 +58,12 @@ class Pix2PixConfig:
     beta1: float = 0.5
     lambda_l1: float = 200.0
     gan_mode: str = "vanilla"
+    # --init_type/--init_gain (networks.py:68-99): applies to the
+    # discriminators (define_D -> init_net parity); the two-stage generator
+    # keeps its own init, as the reference builds it WITHOUT init_net
+    # (pix2pix_model.py:104).
+    init_type: str = "normal"  # normal | xavier | kaiming | orthogonal
+    init_gain: float = 0.02
     maxheight: float = 40.0
     image_size: int = 256
     compute_dtype: str = "float32"  # float32 | bfloat16 | int8 (params stay
@@ -114,18 +120,19 @@ def build_modules(cfg: Pix2PixConfig):
     )
     if dtype == "int8":
         dtype = jnp.bfloat16
+    init = dict(init_type=cfg.init_type, init_gain=cfg.init_gain)
     if cfg.net_d == "basic":
-        d = NLayerDiscriminator(ndf=cfg.ndf, n_layers=3, norm=cfg.norm, dtype=dtype)
+        d = NLayerDiscriminator(ndf=cfg.ndf, n_layers=3, norm=cfg.norm, dtype=dtype, **init)
     elif cfg.net_d == "n_layers":
         d = NLayerDiscriminator(
-            ndf=cfg.ndf, n_layers=cfg.n_layers_d, norm=cfg.norm, dtype=dtype
+            ndf=cfg.ndf, n_layers=cfg.n_layers_d, norm=cfg.norm, dtype=dtype, **init
         )
     elif cfg.net_d == "pixel":
-        d = PixelDiscriminator(ndf=cfg.ndf, norm=cfg.norm, dtype=dtype)
+        d = PixelDiscriminator(ndf=cfg.ndf, norm=cfg.norm, dtype=dtype, **init)
     elif cfg.net_d == "seg":
         from .legacy import SegDiscriminator
 
-        d = SegDiscriminator(ndf=cfg.ndf, n_layers=cfg.n_layers_d)
+        d = SegDiscriminator(ndf=cfg.ndf, n_layers=cfg.n_layers_d, **init)
     else:
         raise NotImplementedError(f"Discriminator model name [{cfg.net_d}] is not recognized")
     return gen, d
@@ -174,24 +181,32 @@ def generator_forward(
     batch: Dict[str, jnp.ndarray],
     cfg: Pix2PixConfig,
     update_sn: bool = True,
+    g_quant=None,
 ):
-    """Full forward incl. SHRM paste-back (pix2pix_model.py:180-264)."""
+    """Full forward incl. SHRM paste-back (pix2pix_model.py:180-264).
+
+    g_quant: optional static int8 activation-scale tree (calibrate_int8);
+    when given (and cfg.compute_dtype == "int8") the quantized convs use the
+    calibrated per-tensor constants instead of per-sample dynamic scales."""
     if cfg.compute_dtype in ("bfloat16", "int8"):
         batch = {
             k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 and v.ndim == 4 else v)
             for k, v in batch.items()
         }
     cam_inv = 1.0 - batch["cam"]
+    variables = {"params": g_params, "sn": g_sn}
+    if g_quant is not None:
+        variables["quant"] = g_quant
     if update_sn:
         out, mut = gen.apply(
-            {"params": g_params, "sn": g_sn},
+            variables,
             batch["context"], batch["mask"], cam_inv, batch["slice_ratio"],
             mutable=["sn"],
         )
         new_sn = mut["sn"]
     else:
         out = gen.apply(
-            {"params": g_params, "sn": g_sn},
+            variables,
             batch["context"], batch["mask"], cam_inv, batch["slice_ratio"],
         )
         new_sn = g_sn
@@ -227,6 +242,63 @@ def generator_forward(
         fake_edges=sobel_edges(fine_seg_bin),
         real_edges=sobel_edges(batch["vert_seg"]),
     )
+
+
+def calib_to_quant(calib_tree):
+    """Map a mutable-["calib"] output tree (per-conv activation absmax sown
+    by SNConv) to the "quant" variable tree SNConv reads: act_absmax ->
+    act_scale = absmax / 127."""
+
+    def walk(node):
+        out = {}
+        for k, v in node.items():
+            if k == "act_absmax":
+                v = v[0] if isinstance(v, tuple) else v
+                out["act_scale"] = jnp.maximum(v.astype(jnp.float32), 1e-12) / 127.0
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(calib_tree)
+
+
+def merge_calib(a, b):
+    """Elementwise-max merge of two calib trees (multi-batch calibration)."""
+    if a is None:
+        return b
+    return jax.tree.map(jnp.maximum, a, b)
+
+
+def calibrate_int8(gen: Generator, g_params, g_sn, batches, cfg: Pix2PixConfig):
+    """Offline per-tensor int8 activation calibration (VERDICT r3 #3).
+
+    Runs the int8 generator over the given generator_forward-style batches
+    with the "calib" collection mutable — each SNConv sows its activation
+    absmax — and returns the static "quant" tree to pass back in as
+    generator_forward(..., g_quant=...). Static scales remove the dynamic
+    abs->reduce_max->quantize HBM sweeps from every conv (the reason int8
+    lost to bf16 in BENCH_r03) and are batch-composition invariant by
+    construction."""
+
+    @jax.jit
+    def one(g_params, g_sn, batch):
+        b = {
+            k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 and v.ndim == 4 else v)
+            for k, v in batch.items()
+        }
+        _, mut = gen.apply(
+            {"params": g_params, "sn": g_sn},
+            b["context"], b["mask"], 1.0 - b["cam"], b["slice_ratio"],
+            mutable=["calib"],
+        )
+        return mut["calib"]
+
+    calib = None
+    for batch in batches:
+        calib = merge_calib(calib, jax.device_get(one(g_params, g_sn, batch)))
+    if calib is None:
+        raise ValueError("calibrate_int8 needs at least one batch")
+    return calib_to_quant(calib)
 
 
 def _d_forward(disc, params, stats, x):
