@@ -60,9 +60,7 @@ def _band_inputs(ct, cam, x1, x2, min_x, max_x):
     return gather(ct), mask.astype(jnp.uint8), gather(cam)
 
 
-def _forward_impl(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x,
-                  ratio, w0, cfg: Pix2PixConfig, use_bf16=True,
-                  use_pallas=False, win=WINDOW):
+def _make_gen(cfg: Pix2PixConfig, use_bf16, use_pallas):
     from healthivert_tpu.models.generator import Generator
 
     if cfg.compute_dtype == "int8":
@@ -72,7 +70,10 @@ def _forward_impl(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x,
         # ratio-plane f32 leaks then promote downstream convs to f32
         # (code-review r3 finding — this path silently ran f32 convs)
         gdtype = jnp.bfloat16 if use_bf16 else None
-    gen = Generator(cnum=cfg.ngf, use_pallas_attention=use_pallas, dtype=gdtype)
+    return Generator(cnum=cfg.ngf, use_pallas_attention=use_pallas, dtype=gdtype)
+
+
+def _prep_inputs(ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, use_bf16):
     # inputs arrive as RAW u8 slices + band scalars; the context/mask/CAM
     # planes are built ON DEVICE (_band_inputs) and normalized there: the
     # tunneled host->device link runs at ~MB/s, so shipping two u8 planes
@@ -86,9 +87,38 @@ def _forward_impl(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x,
     context = ctx_u8[..., None].astype(dt) / 255.0 * 2.0 - 1.0
     mask = mask_u8[..., None].astype(dt)
     cam = camsh_u8[..., None].astype(dt) / 255.0
-    out = gen.apply(
-        {"params": g_params, "sn": g_sn}, context, mask, 1.0 - cam, ratio
+    return context, mask, cam
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_bf16", "use_pallas"))
+def _calibrate_fwd(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x,
+                   max_x, ratio, cfg: Pix2PixConfig, use_bf16=True,
+                   use_pallas=False):
+    """One calibration dispatch: run the int8 generator over prepped pass
+    inputs with the "calib" collection mutable and return the per-conv
+    activation-absmax tree (see models.pix2pix.calib_to_quant)."""
+    gen = _make_gen(cfg, use_bf16, use_pallas)
+    context, mask, cam = _prep_inputs(
+        ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, use_bf16
     )
+    _, mut = gen.apply(
+        {"params": g_params, "sn": g_sn}, context, mask, 1.0 - cam, ratio,
+        mutable=["calib"],
+    )
+    return mut["calib"]
+
+
+def _forward_impl(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x,
+                  ratio, w0, g_quant=None, cfg: Pix2PixConfig = None,
+                  use_bf16=True, use_pallas=False, win=WINDOW):
+    gen = _make_gen(cfg, use_bf16, use_pallas)
+    context, mask, cam = _prep_inputs(
+        ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, use_bf16
+    )
+    variables = {"params": g_params, "sn": g_sn}
+    if g_quant is not None:
+        variables["quant"] = g_quant
+    out = gen.apply(variables, context, mask, 1.0 - cam, ratio)
     # quantize on device: the reassembly maps CT through (x+1)*127.5 into a
     # uint8-range volume anyway, and seg is binary — and only the WINDOW rows
     # starting at per-sample w0 are ever pasted back, so crop before the
@@ -106,8 +136,8 @@ def _forward_impl(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x,
     jax.jit, static_argnames=("cfg", "use_bf16", "use_pallas", "win", "mesh")
 )
 def _forward(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, ratio, w0,
-             cfg: Pix2PixConfig, use_bf16=True, use_pallas=False, win=WINDOW,
-             mesh=None):
+             g_quant=None, cfg: Pix2PixConfig = None, use_bf16=True,
+             use_pallas=False, win=WINDOW, mesh=None):
     """Batched synthesis forward; with `mesh`, the slice batch is sharded
     over the 'data' axis via shard_map (SURVEY.md §2.4: the z-slice dim is
     this pipeline's sequence axis — the TPU-native answer to the reference's
@@ -122,16 +152,17 @@ def _forward(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, ratio
     )
     if mesh is None:
         return impl(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x,
-                    max_x, ratio, w0)
+                    max_x, ratio, w0, g_quant)
     from jax.sharding import PartitionSpec as P
 
     rep, b = P(), P("data")
     return jax.shard_map(
         impl, mesh=mesh,
-        in_specs=(rep, rep, b, rep, b, b, b, b, b, b, b),
+        in_specs=(rep, rep, b, rep, b, b, b, b, b, b, b, rep),
         out_specs=(b, b, b),
         check_vma=False,
-    )(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, ratio, w0)
+    )(g_params, g_sn, ct_u8, cam_stack, zidx, x1, x2, min_x, max_x, ratio, w0,
+      g_quant)
 
 
 def _slice_geometry(label_sl: np.ndarray, ct_sl: np.ndarray, vert_id: int):
@@ -200,8 +231,27 @@ def _reassemble(geo, x_stage2_win, fine_seg_win, pred_h, ct_sl, label_sl, vert_i
     return fake, seg, height
 
 
+def _chunk_arrays(jobs, ratios, job_zidx, i0, batch_size,
+                  keys=("x1", "x2", "min_x", "max_x", "w0")):
+    """Stack one dispatch's worth of job arrays (padded by repetition).
+    Calibration runs before _run_pass assigns "w0", so it passes a keys
+    tuple without it."""
+    chunk = jobs[i0 : i0 + batch_size]
+    pad = batch_size - len(chunk)
+    rep = lambda key: [j[key] for j in chunk] + [chunk[-1][key]] * pad
+    ct = np.stack(rep("ct_u8"))
+    rat = np.array(list(ratios[i0 : i0 + len(chunk)]) + [0.0] * pad, np.float32)
+    zidx = np.array(
+        list(job_zidx[i0 : i0 + len(chunk)])
+        + [job_zidx[i0 + len(chunk) - 1]] * pad, np.int32
+    )
+    ints = {k: jnp.asarray(np.array(rep(k), np.int32)) for k in keys}
+    return chunk, ct, rat, zidx, ints
+
+
 def _run_pass(g_params, g_sn, cfg, jobs, ratios, cam_stack, job_zidx,
-              batch_size=32, use_bf16=True, use_pallas=None, mesh=None):
+              batch_size=32, use_bf16=True, use_pallas=None, mesh=None,
+              g_quant=None):
     """Batched forward over a list of geometry jobs; returns per-job outputs.
     cam_stack is a device-resident (NZ, H, W) u8 array (uploaded once per
     vertebra); job_zidx maps each job to its stack row. With `mesh`, each
@@ -223,24 +273,14 @@ def _run_pass(g_params, g_sn, cfg, jobs, ratios, cam_stack, job_zidx,
     n = len(jobs)
     outs = []
     for i0 in range(0, n, batch_size):
-        chunk = jobs[i0 : i0 + batch_size]
-        pad = batch_size - len(chunk)
-        rep = lambda key: [j[key] for j in chunk] + [chunk[-1][key]] * pad
-        ct = np.stack(rep("ct_u8"))
-        rat = np.array(
-            list(ratios[i0 : i0 + len(chunk)]) + [0.0] * pad, np.float32
+        chunk, ct, rat, zidx, ints = _chunk_arrays(
+            jobs, ratios, job_zidx, i0, batch_size
         )
-        zidx = np.array(
-            list(job_zidx[i0 : i0 + len(chunk)])
-            + [job_zidx[i0 + len(chunk) - 1]] * pad, np.int32
-        )
-        ints = {k: jnp.asarray(np.array(rep(k), np.int32)) for k in
-                ("x1", "x2", "min_x", "max_x", "w0")}
         x2_, seg, ph = _forward(
             g_params, g_sn, jnp.asarray(ct), cam_stack, jnp.asarray(zidx),
             ints["x1"], ints["x2"], ints["min_x"], ints["max_x"],
-            jnp.asarray(rat), ints["w0"], cfg, use_bf16, use_pallas, win,
-            mesh=mesh,
+            jnp.asarray(rat), ints["w0"], g_quant, cfg, use_bf16, use_pallas,
+            win, mesh=mesh,
         )
         x2_, seg, ph = np.asarray(x2_), np.asarray(seg), np.asarray(ph)
         for k in range(len(chunk)):
@@ -272,6 +312,7 @@ def synthesize_volumes(
     use_bf16: bool = True,
     axis: int = 2,
     mesh=None,
+    quant=None,
 ):
     """Batched multi-vertebra synthesis: the three passes are shared across
     ALL volumes (vertebrae are independent — SURVEY.md §3.2), so a whole
@@ -281,7 +322,14 @@ def synthesize_volumes(
 
     volumes: sequence of (ct_vol, label_vol, vert_id, cam_vol-or-None), all
     sharing the same slice shape along `axis`. Returns a list of
-    (ct_fake, label_fake) pairs in input order."""
+    (ct_fake, label_fake) pairs in input order.
+
+    quant (cfg.compute_dtype == "int8" only): None -> per-sample dynamic
+    activation scales; "auto" -> calibrate static per-tensor scales from
+    this call's own first pass-1 batch (one extra dispatch; removes the
+    per-conv dynamic-scale HBM sweeps that made int8 slower than bf16 in
+    BENCH_r03); or a precomputed tree from models.pix2pix.calibrate_int8 /
+    calib_to_quant for deterministic cross-call parity."""
     preps = []
     all_cams = []
     row_off = 0
@@ -328,6 +376,10 @@ def synthesize_volumes(
     bucket = _cam_bucket(row_off)
     cam_stack = jnp.asarray(np.pad(cams, ((0, bucket - row_off), (0, 0), (0, 0))))
 
+    g_quant = None if quant == "auto" else quant
+    if quant is not None and cfg.compute_dtype != "int8":
+        raise ValueError("quant= is only meaningful with compute_dtype='int8'")
+
     # three passes: upper neighbor, lower neighbor, target — jobs from every
     # volume share the dispatches
     for which, nb in (("upper", -1), ("lower", +1), ("target", 0)):
@@ -354,9 +406,24 @@ def synthesize_volumes(
                 job_refs.append((prep, z, vid))
                 job_ratio.append(prep["ratios"][z])
                 job_rows.append(prep["stack_row"][z])
+        if quant == "auto" and g_quant is None and jobs:
+            # one calibration dispatch on this call's first real batch
+            from healthivert_tpu.models.pix2pix import calib_to_quant
+
+            _, ct, rat, zidx, ints = _chunk_arrays(
+                jobs, job_ratio, job_rows, 0, min(batch_size, len(jobs)),
+                keys=("x1", "x2", "min_x", "max_x"),
+            )
+            use_pallas = jax.default_backend() == "tpu"
+            calib = _calibrate_fwd(
+                g_params, g_sn, jnp.asarray(ct), cam_stack, jnp.asarray(zidx),
+                ints["x1"], ints["x2"], ints["min_x"], ints["max_x"],
+                jnp.asarray(rat), cfg, use_bf16, use_pallas,
+            )
+            g_quant = calib_to_quant(jax.device_get(calib))
         outs = _run_pass(
             g_params, g_sn, cfg, jobs, job_ratio, cam_stack, job_rows,
-            batch_size, use_bf16, mesh=mesh,
+            batch_size, use_bf16, mesh=mesh, g_quant=g_quant,
         )
         for geo, (prep, z, vid), (x2_, seg, ph) in zip(jobs, job_refs, outs):
             ct_new, lb_new, _ = _reassemble(
@@ -393,6 +460,7 @@ def synthesize_volume(
     use_bf16: bool = True,
     axis: int = 2,
     mesh=None,
+    quant=None,
 ):
     """Synthesize the pseudo-healthy target vertebra across all central slices.
 
@@ -404,4 +472,5 @@ def synthesize_volume(
     return synthesize_volumes(
         g_params, g_sn, cfg, [(ct_vol, label_vol, vert_id, cam_vol)],
         batch_size=batch_size, use_bf16=use_bf16, axis=axis, mesh=mesh,
+        quant=quant,
     )[0]

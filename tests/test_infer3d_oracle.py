@@ -147,7 +147,7 @@ def test_run_model_parity(shared, x1, height, label_id):
         jnp.asarray(np.array([0], np.int32)),
         ints["x1"], ints["x2"], ints["min_x"], ints["max_x"],
         jnp.asarray(np.array([ratio], np.float32)), ints["w0"],
-        cfg, False, False, win,
+        None, cfg, False, False, win,
     )
     fake, seg_full, h = infer3d._reassemble(
         geo, np.asarray(x2_)[0, :, :, 0], np.asarray(seg)[0, :, :, 0],

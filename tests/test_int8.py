@@ -123,3 +123,108 @@ def test_test_cli_int8(tmp_path):
         "--compute_dtype", "int8",
     ])
     assert (tmp_path / "res" / "i8cli" / "test_latest" / "index.html").exists()
+
+
+def test_static_calibrated_scales():
+    """Static per-tensor activation scales (calibrate_int8, r4): calibrating
+    on the same data reproduces the dynamic path closely; the static tree is
+    batch-composition invariant by construction; sown calib leaves are the
+    batch absmax."""
+    from healthivert_tpu.models.layers import SNConv
+    from healthivert_tpu.models.pix2pix import calib_to_quant, merge_calib
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1.3, (4, 16, 16, 5)).astype(np.float32))
+    conv = SNConv(features=8, kernel_size=3, padding=1, dtype="int8")
+    v = conv.init(jax.random.PRNGKey(1), x)
+    assert "calib" not in v  # init must not create the collection
+
+    _, mut = conv.apply(v, x, mutable=["calib"])
+    absmax = mut["calib"]["act_absmax"]
+    np.testing.assert_allclose(float(absmax), float(jnp.max(jnp.abs(x))), rtol=1e-6)
+
+    quant = calib_to_quant(mut["calib"])
+    assert set(quant) == {"act_scale"}
+    y_static = conv.apply({**v, "quant": quant}, x)
+    y_dyn = conv.apply(v, x)
+    # same data, per-tensor vs per-sample scale: small quantization-grid
+    # difference only
+    np.testing.assert_allclose(
+        np.float32(y_static), np.float32(y_dyn), atol=0.15
+    )
+
+    # batch-composition invariance with the SAME static tree (the property
+    # the per-sample dynamic path was built for)
+    solo = conv.apply({**v, "quant": quant}, x[:1])
+    np.testing.assert_array_equal(np.float32(solo), np.float32(y_static[:1]))
+
+    # multi-batch merge takes the elementwise max
+    _, mut2 = conv.apply(v, 2.0 * x, mutable=["calib"])
+    merged = merge_calib(mut["calib"], mut2["calib"])
+    np.testing.assert_allclose(
+        float(merged["act_absmax"]), 2 * float(jnp.max(jnp.abs(x))), rtol=1e-6
+    )
+
+
+def test_generator_calibrate_int8_and_forward():
+    """calibrate_int8 over generator_forward-style batches yields a quant
+    tree the full generator accepts; static outputs stay close to dynamic."""
+    from healthivert_tpu.data.synthetic import SyntheticDataset
+    from healthivert_tpu.models.generator import Generator
+    from healthivert_tpu.models.pix2pix import (
+        Pix2PixConfig, calibrate_int8, generator_forward, init_state,
+    )
+
+    cfg = Pix2PixConfig(ngf=4, image_size=64, compute_dtype="int8")
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    gen = Generator(cnum=cfg.ngf, dtype="int8")
+    ds = SyntheticDataset(batch_size=2, seed=0, n_volumes=1, shape=(64, 64, 12))
+    batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
+
+    quant = calibrate_int8(gen, state.g_params, state.g_sn, [batch], cfg)
+    n_scales = len(jax.tree.leaves(quant))
+    assert n_scales > 20  # one per quantized conv
+
+    f_dyn = generator_forward(gen, state.g_params, state.g_sn, batch, cfg,
+                              update_sn=False)
+    f_st = generator_forward(gen, state.g_params, state.g_sn, batch, cfg,
+                             update_sn=False, g_quant=quant)
+    d = np.abs(np.float32(f_dyn["fake_b"]) - np.float32(f_st["fake_b"]))
+    assert d.mean() < 0.05, d.mean()
+
+
+def test_synthesize_volume_auto_quant():
+    """quant='auto' calibrates from the call's own first batch and completes
+    3D synthesis; output stays close to the dynamic-scale path."""
+    from healthivert_tpu.data.synthetic import make_spine_volume
+    from healthivert_tpu.engine.infer3d import synthesize_volume
+    from healthivert_tpu.models.pix2pix import Pix2PixConfig, init_state
+
+    cfg = Pix2PixConfig(ngf=4, image_size=64, compute_dtype="int8")
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ct, labels, cam = make_spine_volume(
+        rng, shape=(64, 64, 16), vert_ids=(19, 20, 21), vert_height=12,
+        gap=5, fractured={20: 0.6},
+    )
+    kw = dict(batch_size=8, use_bf16=True)
+    ct_dyn, lb_dyn = synthesize_volume(
+        state.g_params, state.g_sn, cfg, ct, labels, 20, cam, **kw
+    )
+    ct_auto, lb_auto = synthesize_volume(
+        state.g_params, state.g_sn, cfg, ct, labels, 20, cam, quant="auto", **kw
+    )
+    # same synthesized support, near-identical CT values
+    inter = np.sum((lb_dyn > 0) & (lb_auto > 0))
+    union = np.sum((lb_dyn > 0) | (lb_auto > 0))
+    assert union == 0 or inter / union > 0.95
+    sel = (ct_dyn != 0) | (ct_auto != 0)
+    if sel.any():
+        assert np.mean(np.abs(ct_dyn[sel] - ct_auto[sel])) < 10  # u8 scale
+
+    with pytest.raises(ValueError):
+        synthesize_volume(
+            state.g_params, state.g_sn,
+            Pix2PixConfig(ngf=4, image_size=64), ct, labels, 20, cam,
+            quant="auto", **kw,
+        )
