@@ -62,9 +62,9 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
-    from healthivert_tpu.config.options import Options
+    from healthivert_tpu.config.options import BaseOptions
 
-    Options._apply_device_options(args)
+    BaseOptions._apply_device_options(args)
 
     import jax
     import jax.numpy as jnp

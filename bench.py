@@ -92,8 +92,9 @@ def main():
 
     best = 0.0
     results = {}
-    # 384 = 3 x 128: measured best (2709 sl/s vs 2635 at 256; 320 and 512
-    # regress — batch/tile resonance on the 128-wide MXU lanes)
+    # sweep and report the best: at true-bf16 convs the sweet spot is 256
+    # (BENCH_r03: 256 -> 3329.9, 384 -> 3185.3, 512 -> 3229.9 sl/s; the old
+    # "384 = 3x128" lore was an artifact of the f32-conv-promotion bug)
     for bs in (64, 128, 256, 384, 512):
         try:
             ds = SyntheticDataset(batch_size=bs, seed=0, n_volumes=2)
@@ -122,9 +123,12 @@ def main():
         print(f"# batch {bs}: {sps:.1f} slices/sec", file=sys.stderr)
 
     # --- int8 post-training-quantized inference at the headline batch ---
-    # Quality is pinned (experiments/int8_{quality,3d_quality}.py: SSIM -0.008,
-    # 3D seg agreement Dice 0.996); this records whether the v5e int8 MXU
-    # (~2x bf16 peak) pays off end-to-end. Set BENCH_INT8=0 to skip.
+    # Quality is pinned (experiments/int8_{quality,3d_quality,static_quality}
+    # .py: SSIM -0.013, Dice/IoU unchanged, 3D seg agreement Dice 0.996);
+    # measured with STATIC calibrated activation scales (the shipping
+    # default: dynamic per-sample scales cost ~3 extra HBM sweeps per conv
+    # and lose ~25% — experiments/int8_bench.py r4, where static beats bf16
+    # at batch 384). Set BENCH_INT8=0 to skip.
     int8_sps = None
     int8_bs = None
     if results and os.environ.get("BENCH_INT8", "1") != "0":
@@ -136,25 +140,33 @@ def main():
                 dtype="int8",
             )
 
-            def infer_step8(g_params, g_sn, batch):
+            def infer_step8(g_params, g_sn, batch, g_quant):
                 bf = {
                     k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 and v.ndim == 4 else v)
                     for k, v in batch.items()
                 }
-                f = generator_forward(gen8, g_params, g_sn, bf, cfg, update_sn=False)
+                f = generator_forward(gen8, g_params, g_sn, bf, cfg,
+                                      update_sn=False, g_quant=g_quant)
                 return f["fake_b"], f["fine_seg_bin"], f["pred2_h"]
 
             jit8 = jax.jit(infer_step8)
             ds = SyntheticDataset(batch_size=int8_bs, seed=0, n_volumes=2)
             batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
-            out = jit8(state.g_params, state.g_sn, batch)  # compile
+            from healthivert_tpu.models.pix2pix import calibrate_int8
+            import dataclasses as _dc
+
+            quant = calibrate_int8(
+                gen8, state.g_params, state.g_sn, [batch],
+                _dc.replace(cfg, compute_dtype="int8"),
+            )
+            out = jit8(state.g_params, state.g_sn, batch, quant)  # compile
             float(jnp.sum(out[2].astype(jnp.float32)))
             iters = 10
             int8_sps = 0.0
             for _rep in range(2):
                 t0 = time.perf_counter()
                 for _ in range(iters):
-                    out = jit8(state.g_params, state.g_sn, batch)
+                    out = jit8(state.g_params, state.g_sn, batch, quant)
                 float(jnp.sum(out[0].astype(jnp.float32)))
                 int8_sps = max(int8_sps, int8_bs * iters / (time.perf_counter() - t0))
             print(f"# int8 batch {int8_bs}: {int8_sps:.1f} slices/sec",

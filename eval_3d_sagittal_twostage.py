@@ -45,6 +45,7 @@ def main(argv=None):
     # which argparse prefix abbreviations would slip past) and re-injected.
     pre.add_argument("--compute_dtype", default="bfloat16",
                      choices=["float32", "bfloat16", "int8"])
+
     ns, rest = pre.parse_known_args(argv)
     axis = 2 if ns.axis == "sagittal" else 1
     rest = list(rest) + ["--compute_dtype", ns.compute_dtype]
@@ -128,6 +129,10 @@ def main(argv=None):
                 state.g_params, state.g_sn, cfg, [vols[i] for i in idxs],
                 batch_size=ns.slice_batch, axis=axis, mesh=mesh,
                 use_bf16=opt.compute_dtype != "float32",
+                # static per-tensor scales by default: the int8 mode that
+                # actually beats bf16 (experiments/int8_bench.py r4)
+                quant="auto" if (ns.compute_dtype == "int8"
+                                 and opt.int8_calib == "auto") else None,
             )
             for i, r in zip(idxs, sub):
                 results[i] = r

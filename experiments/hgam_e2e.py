@@ -38,6 +38,12 @@ def build_cohort(root, seed=0):
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "CT"), exist_ok=True)
     os.makedirs(os.path.join(root, "label"), exist_ok=True)
+    # the synthetic generator's procedural CAMs, materialized in the layout
+    # find_cam_path expects (bare {pv}.nii.gz) — the checkpoint was trained
+    # WITH a CAM channel, so chains that want its training distribution pass
+    # --cam_dir {root}/cam_procedural (classifier-generated CAMs live
+    # elsewhere; this experiment compares against them)
+    os.makedirs(os.path.join(root, "cam_procedural"), exist_ok=True)
     split = {"train": {}, "val": {}, "test": {}}
     idx = 0
     # grade -> compression fraction (data/synthetic.py wedge model)
@@ -52,7 +58,7 @@ def build_cohort(root, seed=0):
                 grades[vid] = g
                 if g > 0:
                     fractured[vid] = frac_of[g]
-            ct, labels, _cam = make_spine_volume(
+            ct, labels, cam = make_spine_volume(
                 rng, shape=(256, 256, 32), vert_ids=vert_ids,
                 vert_height=26, gap=10, fractured=fractured,
             )
@@ -68,10 +74,14 @@ def build_cohort(root, seed=0):
                 nifti.Nifti1Image(labels.astype(np.float32)),
                 os.path.join(root, "label", f"{case}_{vert_ids[0]}.nii.gz"),
             )
+            nifti.save(
+                nifti.Nifti1Image(cam.astype(np.float32)),
+                os.path.join(root, "cam_procedural", f"{case}_{vert_ids[0]}.nii.gz"),
+            )
             # per-vertebra files share the volume (the loader addresses
             # {case}_{vid}.nii.gz individually, as the reference layout does)
             for vid in vert_ids[1:]:
-                for sub in ("CT", "label"):
+                for sub in ("CT", "label", "cam_procedural"):
                     src = os.path.join(root, sub, f"{case}_{vert_ids[0]}.nii.gz")
                     dst = os.path.join(root, sub, f"{case}_{vid}.nii.gz")
                     if not os.path.exists(dst):
@@ -93,7 +103,7 @@ def run(cmd, log):
 
 
 def last_eval(log_text):
-    evs = re.findall(r"\(eval\).*", log_text)
+    evs = re.findall(r"epoch\[\d+\] SSIM.*", log_text)
     return evs[-1] if evs else "(no eval line)"
 
 

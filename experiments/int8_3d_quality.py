@@ -44,34 +44,42 @@ def main():
         gap=12, fractured={20: 0.6},
     )
 
+    # "int8-static" = the eval_3d CLI's shipping default (--int8_calib auto:
+    # static per-tensor scales calibrated from the call's own first batch)
     outs = {}
-    for mode in ("float32", "int8"):
-        cfg = Pix2PixConfig(ngf=16, image_size=256, compute_dtype=mode)
+    for mode, dtype, quant in (
+        ("float32", "float32", None),
+        ("int8", "int8", None),
+        ("int8-static", "int8", "auto"),
+    ):
+        cfg = Pix2PixConfig(ngf=16, image_size=256, compute_dtype=dtype)
         state = init_state(jax.random.PRNGKey(0), cfg)
         state = ckpt.restore_generator(
             state, "/root/repo/checkpoints/pretrained_synthetic"
         )
         ct_fake, lb_fake = synthesize_volume(
             state.g_params, state.g_sn, cfg, ct, labels, 20, cam,
-            batch_size=16, use_bf16=(mode == "int8"),
+            batch_size=16, use_bf16=(dtype == "int8"), quant=quant,
         )
         outs[mode] = (np.asarray(ct_fake), np.asarray(lb_fake) > 0)
         print(f"{mode}: done")
 
     real = labels == 20
     f32_ct, f32_seg = outs["float32"]
-    i8_ct, i8_seg = outs["int8"]
-    print(f"seg agreement int8-vs-f32 Dice: {dice(i8_seg, f32_seg):.4f}")
-    print(f"Dice vs real label: f32 {dice(f32_seg, real):.4f}  int8 {dice(i8_seg, real):.4f}")
-    region = (f32_ct != 0) | (i8_ct != 0)  # synthesized voxels only
-    d = np.abs(
-        f32_ct.astype(np.float32) - i8_ct.astype(np.float32)
-    )[region]
-    print(
-        f"fake-CT |delta| over the synthesized region "
-        f"({region.mean() * 100:.0f}% of voxels): "
-        f"mean {d.mean():.3f} / p99 {np.percentile(d, 99):.1f} (uint8 scale)"
-    )
+    for mode in ("int8", "int8-static"):
+        i8_ct, i8_seg = outs[mode]
+        print(f"[{mode}] seg agreement vs f32 Dice: {dice(i8_seg, f32_seg):.4f}")
+        print(f"[{mode}] Dice vs real label: f32 {dice(f32_seg, real):.4f}  "
+              f"{mode} {dice(i8_seg, real):.4f}")
+        region = (f32_ct != 0) | (i8_ct != 0)  # synthesized voxels only
+        d = np.abs(
+            f32_ct.astype(np.float32) - i8_ct.astype(np.float32)
+        )[region]
+        print(
+            f"[{mode}] fake-CT |delta| over the synthesized region "
+            f"({region.mean() * 100:.0f}% of voxels): "
+            f"mean {d.mean():.3f} / p99 {np.percentile(d, 99):.1f} (uint8 scale)"
+        )
 
 
 if __name__ == "__main__":

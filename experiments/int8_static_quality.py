@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Quality of the REAL int8 path, dynamic vs static-calibrated scales, on
+the shipped checkpoint (CPU-measurable; VERDICT r4 #3 quality gate for
+making static calibration the CLI default).
+
+Unlike experiments/int8_quality.py (fake-quant conv patching), this drives
+the actual SNConv int8 kernels (dtype="int8") through evaluate_model:
+
+    python -u experiments/int8_static_quality.py [--batches 4]
+"""
+
+import argparse
+import json
+import sys
+import types
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+
+    from healthivert_tpu.data.synthetic import SyntheticDataset
+    from healthivert_tpu.engine import checkpoint as ckpt
+    from healthivert_tpu.engine.evaluate import evaluate_model
+    from healthivert_tpu.models.pix2pix import (
+        Pix2PixConfig, build_modules, calibrate_int8, init_state,
+    )
+
+    state = init_state(
+        jax.random.PRNGKey(0),
+        Pix2PixConfig(image_size=256, compute_dtype="bfloat16"),
+        batch_size=1,
+    )
+    state = ckpt.restore_generator(state, "/root/repo/checkpoints/pretrained_synthetic")
+
+    def make_ds():
+        opt = types.SimpleNamespace(batch_size=4, seed=7, crop_size=256)
+        return SyntheticDataset(opt, size=4 * args.batches, batch_size=4, seed=7)
+
+    rows = {}
+    for variant in ("bf16", "int8-dynamic", "int8-static"):
+        cfg = Pix2PixConfig(
+            image_size=256,
+            compute_dtype="int8" if variant.startswith("int8") else "bfloat16",
+        )
+        quant = None
+        if variant == "int8-static":
+            import jax.numpy as jnp
+
+            gen, _ = build_modules(cfg)
+            # calibrate on DIFFERENT data (seed 3) than the eval set — the
+            # honest deployment setting
+            copt = types.SimpleNamespace(batch_size=4, seed=3, crop_size=256)
+            cds = SyntheticDataset(copt, size=8, batch_size=4, seed=3)
+            batches = [{k: jnp.asarray(v) for k, v in b.items()} for b in cds]
+            quant = calibrate_int8(gen, state.g_params, state.g_sn, batches, cfg)
+        m = evaluate_model(state.g_params, state.g_sn, make_ds(), cfg, g_quant=quant)
+        rows[variant] = {k: round(float(v), 4) for k, v in m.items()}
+        print(variant, json.dumps(rows[variant]), flush=True)
+
+    print("SUMMARY " + json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,10 +20,11 @@ from healthivert_tpu.ops import image as I
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def eval_batch(g_params, g_sn, batch, cfg: Pix2PixConfig):
+def eval_batch(g_params, g_sn, batch, cfg: Pix2PixConfig, g_quant=None):
     """Per-sample metrics for one batch. Returns dict of (B,) arrays."""
     gen, _ = build_modules(cfg)
-    f = generator_forward(gen, g_params, g_sn, batch, cfg, update_sn=False)
+    f = generator_forward(gen, g_params, g_sn, batch, cfg, update_sn=False,
+                          g_quant=g_quant)
     full = batch["full"]
     mask = batch["mask"]
     fake = f["fake_b"]
@@ -50,7 +51,7 @@ def eval_batch(g_params, g_sn, batch, cfg: Pix2PixConfig):
 
 
 def evaluate_model(g_params, g_sn, dataset, cfg: Pix2PixConfig, out_dir=None,
-                   epoch=0, mesh=None):
+                   epoch=0, mesh=None, g_quant=None):
     """Average metrics over the eval dataset; optionally save a PNG grid of
     [context, fake, real, coarse_seg, normal, fine_seg, vert_seg, cam] rows
     (train.py:150-159).
@@ -88,11 +89,11 @@ def evaluate_model(g_params, g_sn, dataset, cfg: Pix2PixConfig, out_dir=None,
                 -(-n // n_dev) * n_dev,
             )
             jb = shard_batch(batch, mesh)
-            metrics, f = eval_batch(g_params, g_sn, jb, cfg)
+            metrics, f = eval_batch(g_params, g_sn, jb, cfg, g_quant)
             metrics = {k: v[:n] for k, v in metrics.items()}
         else:
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            metrics, f = eval_batch(g_params, g_sn, jb, cfg)
+            metrics, f = eval_batch(g_params, g_sn, jb, cfg, g_quant)
         for k, v in metrics.items():
             sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
         count += next(iter(metrics.values())).shape[0]

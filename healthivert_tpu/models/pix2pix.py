@@ -85,6 +85,20 @@ class Pix2PixConfig:
     # otherwise OOM; numerics are unchanged (pinned by
     # tests/test_train_step.py::test_remat_matches_baseline).
     remat: bool = False
+    # DOCUMENTED DEVIATION (opt-in): compute the G-head GAN terms against the
+    # PRE-update discriminators instead of the reference's post-update ones
+    # (pix2pix_model.py:356-382 updates D first, then G against updated Ds).
+    # The D(fake) forward inside each D update and the G-head D(fake) forward
+    # then share identical subexpressions, which XLA CSE merges — saving one
+    # full PatchGAN forward per discriminator per step. The discriminators
+    # are the FAT nets here (ndf=64..512 vs ngf=16: one basic-D forward is
+    # ~6.2 GFLOP/sample vs the whole two-stage generator's 13.8), so this is
+    # a real cut. GAN-theoretically this is the standard simultaneous
+    # (Jacobi-style) update instead of the reference's alternating
+    # (Gauss-Seidel) one. Exactly equal to the default at lr=0 (pinned by
+    # tests/test_train_step.py); throughput measured in
+    # experiments/train_trace.py.
+    gan_head_preupdate: bool = False
 
 
 @struct.dataclass
@@ -361,7 +375,8 @@ def train_step(
         )
 
     g_out_fn = jax.checkpoint(g_outputs) if cfg.remat else g_outputs
-    outs, g_vjp = jax.vjp(g_out_fn, state.g_params)
+    with jax.named_scope("g_forward"):
+        outs, g_vjp = jax.vjp(g_out_fn, state.g_params)
     fake_b, fake_b_coarse, coarse_seg, fine_seg, pred1_h, pred2_h = outs
 
     fine_seg_bin = (fine_seg > 0.5).astype(fine_seg.dtype)
@@ -416,17 +431,35 @@ def train_step(
         for i in range(3):
             losses[f"D_fake_{i + 1}"] = l_fake3[i]
             losses[f"D_real_{i + 1}"] = l_real3[i]
+        if cfg.gan_head_preupdate:
+            h_params3 = stack3(state.d1_params, state.d2_params, state.d3_params)
+            h_stats3 = stack3(state.d1_stats, state.d2_stats, state.d3_stats)
+        else:
+            h_params3, h_stats3 = d_params3, d_stats3
     else:
-        d1_params, d1_stats, opt_d1, losses["D_fake_1"], losses["D_real_1"] = d_step(
-            state.d1_params, state.d1_stats, state.opt_d1, fake_b, full
-        )
-        d2_params, d2_stats, opt_d2, losses["D_fake_2"], losses["D_real_2"] = d_step(
-            state.d2_params, state.d2_stats, state.opt_d2, fine_seg_bin,
-            batch["vert_seg"],
-        )
-        d3_params, d3_stats, opt_d3, losses["D_fake_3"], losses["D_real_3"] = d_step(
-            state.d3_params, state.d3_stats, state.opt_d3, fake_local, real_local
-        )
+        with jax.named_scope("d1_update"):
+            d1_params, d1_stats, opt_d1, losses["D_fake_1"], losses["D_real_1"] = d_step(
+                state.d1_params, state.d1_stats, state.opt_d1, fake_b, full
+            )
+        with jax.named_scope("d2_update"):
+            d2_params, d2_stats, opt_d2, losses["D_fake_2"], losses["D_real_2"] = d_step(
+                state.d2_params, state.d2_stats, state.opt_d2, fine_seg_bin,
+                batch["vert_seg"],
+            )
+        with jax.named_scope("d3_update"):
+            d3_params, d3_stats, opt_d3, losses["D_fake_3"], losses["D_real_3"] = d_step(
+                state.d3_params, state.d3_stats, state.opt_d3, fake_local, real_local
+            )
+
+    # G-head discriminator weights: post-update (reference semantics) or
+    # pre-update (gan_head_preupdate — lets XLA CSE the D(fake) forwards
+    # against the D-update branch; see the config docstring)
+    if cfg.gan_head_preupdate:
+        h1_params, h2_params, h3_params = state.d1_params, state.d2_params, state.d3_params
+        h1_stats, h2_stats, h3_stats = state.d1_stats, state.d2_stats, state.d3_stats
+    else:
+        h1_params, h2_params, h3_params = d1_params, d2_params, d3_params
+        h1_stats, h2_stats, h3_stats = d1_stats, d2_stats, d3_stats
 
     # --- generator update against the UPDATED discriminators: the loss head
     # runs on the saved forward outputs; its cotangents pull back through the
@@ -444,13 +477,13 @@ def train_step(
                 return gan_loss(logits, True, cfg.gan_mode)
 
             l_gan3 = jax.vmap(d_head)(
-                d_params3, d_stats3, jnp.stack([fake_b, seg_bin, f_local])
+                h_params3, h_stats3, jnp.stack([fake_b, seg_bin, f_local])
             )
             l_gan = jnp.sum(l_gan3) / 6.0
         else:
-            p1, _ = _d_forward(disc, d1_params, d1_stats, fake_b)
-            p2, _ = _d_forward(disc, d2_params, d2_stats, seg_bin)
-            p3, _ = _d_forward(disc, d3_params, d3_stats, f_local)
+            p1, _ = _d_forward(disc, h1_params, h1_stats, fake_b)
+            p2, _ = _d_forward(disc, h2_params, h2_stats, seg_bin)
+            p3, _ = _d_forward(disc, h3_params, h3_stats, f_local)
             l_gan = (
                 gan_loss(p1, True, cfg.gan_mode)
                 + gan_loss(p2, True, cfg.gan_mode)
@@ -478,19 +511,25 @@ def train_step(
             edge=l_edge, h=l_h,
         )
 
-    (g_total, g_losses), out_grads = jax.value_and_grad(g_loss_head, has_aux=True)(outs)
-    (g_grads,) = g_vjp(out_grads)
-    updates, opt_g = opt.update(g_grads, state.opt_g, state.g_params)
-    g_params = optax.apply_updates(
-        state.g_params, jax.tree_util.tree_map(lambda u: -lr * u, updates)
-    )
+    with jax.named_scope("g_head"):
+        (g_total, g_losses), out_grads = jax.value_and_grad(g_loss_head, has_aux=True)(outs)
+    with jax.named_scope("g_backward"):
+        (g_grads,) = g_vjp(out_grads)
+    with jax.named_scope("g_opt"):
+        updates, opt_g = opt.update(g_grads, state.opt_g, state.g_params)
+        g_params = optax.apply_updates(
+            state.g_params, jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        )
     losses.update(g_losses)
     losses["G_total"] = g_total
+
+    with jax.named_scope("sn_update"):
+        new_g_sn = _update_sn_tree(state.g_params, state.g_sn)
 
     new_state = TrainState(
         step=state.step + 1,
         g_params=g_params,
-        g_sn=_update_sn_tree(state.g_params, state.g_sn),
+        g_sn=new_g_sn,
         d1_params=d1_params, d1_stats=d1_stats,
         d2_params=d2_params, d2_stats=d2_stats,
         d3_params=d3_params, d3_stats=d3_stats,

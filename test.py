@@ -66,11 +66,21 @@ def main(argv=None):
         web_dir = f"{web_dir}_iter{opt.load_iter}"
     gallery = HTMLGallery(web_dir, f"Experiment = {opt.name}, Phase = {opt.phase}, Epoch = {opt.epoch}")
 
+    g_quant = None
     for i, batch in enumerate(dataset):
         if i >= opt.num_test:
             break
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        f = generator_forward(gen, state.g_params, state.g_sn, jb, cfg, update_sn=False)
+        if (cfg.compute_dtype == "int8" and i == 0
+                and getattr(opt, "int8_calib", "auto") == "auto"):
+            # static per-tensor activation scales from the first batch: the
+            # int8 mode that actually beats bf16 (experiments/int8_bench.py
+            # r4; dynamic per-sample scales cost ~3 extra HBM sweeps/conv)
+            from healthivert_tpu.models.pix2pix import calibrate_int8
+
+            g_quant = calibrate_int8(gen, state.g_params, state.g_sn, [jb], cfg)
+        f = generator_forward(gen, state.g_params, state.g_sn, jb, cfg,
+                              update_sn=False, g_quant=g_quant)
         visuals = {
             "real_A": jb["context"][0],
             "fake_B": f["fake_b"][0],

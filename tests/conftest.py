@@ -10,7 +10,21 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # r4: five intermittent SIGSEGV/SIGABRT crashes inside XLA:CPU compile/
+    # AOT-cache paths — ALWAYS while compiling the suite's biggest programs
+    # (train_step variants) after hundreds of prior compiles, never in the
+    # same test twice, never standalone. Pinning codegen to AVX512 (no
+    # AMX/VNNI/BF16 tiles) avoids suspect instruction families on this VM;
+    # numerics unchanged.
+    flags = (flags + " --xla_cpu_max_isa=AVX512").strip()
+if "parallel_codegen_split_count" not in flags:
+    # the default 32-way parallel LLVM codegen split only engages on those
+    # same biggest modules; serializing it removes the crash's concurrency
+    # surface (single-core VM anyway, so no compile-time cost)
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
@@ -19,13 +33,43 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Single-core sandbox: persistent compile cache makes re-runs cheap.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Persistent compile cache made re-runs cheap, but the XLA:CPU AOT
+# serialize/deserialize round-trip SEGFAULTS intermittently on some sandbox
+# hosts (seen r4: one crash in get_executable_and_time loading entries from
+# a previous host with different CPU features, one in put_executable_and_time
+# mid-suite on a fresh cache). In-process jit caching is unaffected; only
+# cross-run compile reuse is lost. Opt back in with HV_TEST_CACHE=1.
+if os.environ.get("HV_TEST_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+else:
+    # keep CLI-subprocess tests (and options.parse() within this process)
+    # from re-enabling the crashy cache behind our back
+    os.environ["HV_DISABLE_COMPILE_CACHE"] = "1"
 
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8, "virtual 8-device CPU mesh required for sharding tests"
+
+
+def pytest_collection_modifyitems(items):
+    """Run the biggest-program test files FIRST. Six intermittent XLA:CPU
+    compiler crashes this round (SIGSEGV/SIGABRT inside
+    backend_compile_and_load or the AOT cache) all hit train_step compiles
+    sitting at ~82% of the alphabetical run — never the same test twice,
+    never standalone, and never test_parallel's equally-big programs at
+    their earlier position. The trigger correlates with accumulated
+    compile volume in the process, so the huge programs go first."""
+    early = ("tests/test_train_step.py", "tests/test_parallel.py")
+
+    def key(item):
+        path = str(getattr(item, "fspath", ""))
+        for i, name in enumerate(early):
+            if path.endswith(name.split("/")[-1]):
+                return (i, 0)
+        return (len(early), 0)
+
+    items.sort(key=key)
 
 
 @pytest.fixture

@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+if os.environ.get("HV_DISABLE_COMPILE_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
 
 
 def main():

@@ -84,6 +84,74 @@ def test_train_mesh_flag(tmp_path):
     assert int(jax.device_get(state.step)) > 0
 
 
+def test_hgam_cli_train_generate(tmp_path):
+    """The HGAM CLI train+generate path past argparse: --help never reaches
+    the in-main imports, so a broken `from ...options import Options` (r4:
+    the class is BaseOptions) shipped green. Drives both modes on a tiny
+    cohort with --gpu_ids -1."""
+    import json
+    import os
+
+    import numpy as np
+
+    from healthivert_tpu.data.synthetic import make_spine_volume
+    from healthivert_tpu.utils import nifti
+
+    rng = np.random.default_rng(0)
+    ct, labels, _ = make_spine_volume(
+        rng, shape=(64, 64, 16), vert_ids=(19, 20), vert_height=10, gap=4,
+        fractured={20: 0.6},
+    )
+    (tmp_path / "CT").mkdir()
+    (tmp_path / "label").mkdir()
+    for pv in ("p1_19", "p1_20"):
+        nifti.save(nifti.Nifti1Image(ct.astype(np.float32)),
+                   str(tmp_path / "CT" / f"{pv}.nii.gz"))
+        nifti.save(nifti.Nifti1Image(labels.astype(np.float32)),
+                   str(tmp_path / "label" / f"{pv}.nii.gz"))
+    split = {"train": {"p1_19": 0, "p1_20": 2}, "val": {}, "test": {}}
+    with open(tmp_path / "split.json", "w") as f:
+        json.dump(split, f)
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    common = ["--dataroot", str(tmp_path), "--split", str(tmp_path / "split.json"),
+              "--gpu_ids", "-1"]
+    r = subprocess.run(
+        [sys.executable, "Attention/grad_CAM_3d_sagittal.py", "train",
+         "--out", str(tmp_path / "cls"), "--steps", "2", "--batch", "2"] + common,
+        capture_output=True, text=True, timeout=560, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-300:], r.stderr[-800:])
+    r = subprocess.run(
+        [sys.executable, "Attention/grad_CAM_3d_sagittal.py", "generate",
+         "--ckpt", str(tmp_path / "cls"), "--out", str(tmp_path / "cam")] + common,
+        capture_output=True, text=True, timeout=560, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-300:], r.stderr[-800:])
+    cams = list((tmp_path / "cam").glob("p1_*.nii.gz"))
+    assert len(cams) == 2, r.stdout[-300:]
+    vol = nifti.load(str(cams[0])).get_fdata()
+    assert np.isfinite(vol).all() and vol.min() >= 0.0
+
+
+def test_train_gan_head_preupdate_flag(tmp_path):
+    """--gan_head_preupdate must reach Pix2PixConfig (threaded like --remat)."""
+    import jax
+
+    import train
+
+    state, cfg = train.main([
+        "--dataset_mode", "synthetic", "--name", "preup", "--model", "pix2pix",
+        "--batch_size", "8", "--crop_size", "64", "--ndf", "8",
+        "--n_epochs", "1", "--n_epochs_decay", "0", "--max_steps", "1",
+        "--gan_head_preupdate", "--checkpoints_dir", str(tmp_path),
+        "--print_freq", "64", "--save_epoch_freq", "99", "--eval_freq", "99",
+    ])
+    assert cfg.gan_head_preupdate
+    assert int(jax.device_get(state.step)) > 0
+
+
 def test_test_cli_gallery_includes_offset_flow(tmp_path):
     """test.py end-to-end: the HTML gallery carries a REAL offset_flow image
     (VERDICT r2 missing #3 — the reference renders attention offsets as a
@@ -154,6 +222,38 @@ def test_eval3d_cli_e2e_compute_dtype(tmp_path):
     ])
     assert (tmp_path / "out" / "CT_fake" / "p1_20.nii.gz").exists()
     assert (tmp_path / "out" / "label_fake" / "p1_20.nii.gz").exists()
+
+
+def test_eval3d_cli_int8_auto_calib(tmp_path):
+    """eval_3d --compute_dtype int8 with the default --int8_calib auto must
+    reach synthesize_volumes' static-calibration path end-to-end (the r4
+    int8 mode that beats bf16) and produce valid outputs."""
+    import numpy as np
+
+    import eval_3d_sagittal_twostage as e3
+    from healthivert_tpu.data.synthetic import make_spine_volume
+    from healthivert_tpu.utils import nifti
+
+    rng = np.random.default_rng(0)
+    ct, labels, _ = make_spine_volume(
+        rng, shape=(64, 64, 16), vert_ids=(19, 20, 21), vert_height=12, gap=5
+    )
+    (tmp_path / "CT").mkdir()
+    (tmp_path / "label").mkdir()
+    nifti.save(nifti.Nifti1Image(ct.astype(np.float32)),
+               str(tmp_path / "CT" / "p1_20.nii.gz"))
+    nifti.save(nifti.Nifti1Image(labels.astype(np.float32)),
+               str(tmp_path / "label" / "p1_20.nii.gz"))
+    e3.main([
+        "--dataroot", str(tmp_path), "--name", "e8", "--crop_size", "64",
+        "--checkpoints_dir", str(tmp_path / "ck"),
+        "--results_dir", str(tmp_path / "out"),
+        "--compute_dtype", "int8", "--slice_batch", "8",
+    ])
+    fake = nifti.load(str(tmp_path / "out" / "CT_fake" / "p1_20.nii.gz")).get_fdata()
+    assert np.isfinite(fake).all()
+    lb = nifti.load(str(tmp_path / "out" / "label_fake" / "p1_20.nii.gz")).get_fdata()
+    assert (lb == 20).any(), "no synthesized vertebra voxels"
 
 
 def test_profile_steps_resume_inside_window(tmp_path):

@@ -143,6 +143,42 @@ def test_vmap_discriminators_matches_sequential():
             )
 
 
+def test_gan_head_preupdate_lr0_exact():
+    """cfg.gan_head_preupdate (G-head GAN terms against PRE-update Ds so XLA
+    can CSE the D(fake) forwards — a documented opt-in deviation) differs
+    from the default only through the D optimizer step. At lr=0 the Adam
+    delta is zero, pre-update == post-update params, and BatchNorm train-mode
+    normalization uses batch (not running) stats — so the two modes must be
+    EXACTLY equal, pinning that the rewiring touches nothing else."""
+    cfg_p = Pix2PixConfig(ngf=4, ndf=8, image_size=64, gan_head_preupdate=True)
+    batch = _batch()
+    lr = jnp.float32(0.0)
+    s_base = init_state(jax.random.PRNGKey(0), CFG, batch_size=2)
+    s_pre = init_state(jax.random.PRNGKey(0), cfg_p, batch_size=2)
+    s_base, l_base = train_step(s_base, dict(batch), lr, CFG)
+    s_pre, l_pre = train_step(s_pre, dict(batch), lr, cfg_p)
+    for k in l_base:
+        np.testing.assert_array_equal(np.asarray(l_pre[k]), np.asarray(l_base[k]), err_msg=k)
+    for name in ("g_params", "d1_params", "d2_params", "d3_params"):
+        a = jax.tree_util.tree_leaves(getattr(s_base, name))
+        b = jax.tree_util.tree_leaves(getattr(s_pre, name))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_gan_head_preupdate_trains():
+    """At a real lr the preupdate variant is a (tiny) semantic deviation —
+    it must still run finite and update every parameter group."""
+    cfg_p = Pix2PixConfig(ngf=4, ndf=8, image_size=64, gan_head_preupdate=True)
+    batch = _batch()
+    s = init_state(jax.random.PRNGKey(0), cfg_p, batch_size=2)
+    g0 = jax.tree_util.tree_leaves(s.g_params)[0].copy()
+    s, losses = train_step(s, dict(batch), jnp.float32(2e-4), cfg_p)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert not np.array_equal(np.asarray(jax.tree_util.tree_leaves(s.g_params)[0]), np.asarray(g0))
+
+
 def test_remat_matches_baseline():
     """cfg.remat (jax.checkpoint around the retained-vjp generator forward)
     recomputes instead of storing activations — same math, so every loss and
