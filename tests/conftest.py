@@ -11,21 +11,25 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_max_isa" not in flags:
-    # r4: five intermittent SIGSEGV/SIGABRT crashes inside XLA:CPU compile/
-    # AOT-cache paths — ALWAYS while compiling the suite's biggest programs
-    # (train_step variants) after hundreds of prior compiles, never in the
-    # same test twice, never standalone. Pinning codegen to AVX512 (no
-    # AMX/VNNI/BF16 tiles) avoids suspect instruction families on this VM;
-    # numerics unchanged.
-    flags = (flags + " --xla_cpu_max_isa=AVX512").strip()
-if "parallel_codegen_split_count" not in flags:
-    # the default 32-way parallel LLVM codegen split only engages on those
-    # same biggest modules; serializing it removes the crash's concurrency
-    # surface (single-core VM anyway, so no compile-time cost)
-    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# ROOT-CAUSED r4 (seven intermittent SIGSEGV/SIGABRT "crashes inside XLA:CPU
+# compile" ~30 min into every cold full-suite run): each big train_step
+# compile on the 8-device CPU client leaves ~2,000 live mmap regions (LLVM
+# JIT code segments held by the jit cache), so ~30 big compiles exhaust the
+# kernel's default vm.max_map_count=65530 and the next LLVM allocation dies
+# with "Cannot allocate memory" (execution_engine.cc) followed by a segfault
+# in the error path. The sandbox runs tests as root, so raise the cap; only
+# ever raise, never lower.
+try:
+    with open("/proc/sys/vm/max_map_count") as f:
+        _cap = int(f.read())
+    if _cap < 1048576:
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write("1048576")
+except (OSError, PermissionError, ValueError):
+    pass  # non-root/non-Linux: the suite still runs, just with the old risk
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
@@ -53,13 +57,9 @@ assert len(jax.devices()) == 8, "virtual 8-device CPU mesh required for sharding
 
 
 def pytest_collection_modifyitems(items):
-    """Run the biggest-program test files FIRST. Six intermittent XLA:CPU
-    compiler crashes this round (SIGSEGV/SIGABRT inside
-    backend_compile_and_load or the AOT cache) all hit train_step compiles
-    sitting at ~82% of the alphabetical run — never the same test twice,
-    never standalone, and never test_parallel's equally-big programs at
-    their earlier position. The trigger correlates with accumulated
-    compile volume in the process, so the huge programs go first."""
+    """Run the biggest-program test files FIRST: they leak the most mmap
+    regions per compile (see the max_map_count note above), so front-running
+    them maximizes headroom under whatever cap the host enforces."""
     early = ("tests/test_train_step.py", "tests/test_parallel.py")
 
     def key(item):
