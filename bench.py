@@ -157,7 +157,7 @@ def main():
 
             quant = calibrate_int8(
                 gen8, state.g_params, state.g_sn, [batch],
-                _dc.replace(cfg, compute_dtype="int8"),
+                _dc.replace(cfg, compute_dtype="int8"), percentile=99.9,
             )
             out = jit8(state.g_params, state.g_sn, batch, quant)  # compile
             float(jnp.sum(out[2].astype(jnp.float32)))

@@ -46,13 +46,13 @@ def main():
         return SyntheticDataset(opt, size=4 * args.batches, batch_size=4, seed=7)
 
     rows = {}
-    for variant in ("bf16", "int8-dynamic", "int8-static"):
+    for variant in ("bf16", "int8-dynamic", "int8-static", "int8-static-p999"):
         cfg = Pix2PixConfig(
             image_size=256,
             compute_dtype="int8" if variant.startswith("int8") else "bfloat16",
         )
         quant = None
-        if variant == "int8-static":
+        if variant.startswith("int8-static"):
             import jax.numpy as jnp
 
             gen, _ = build_modules(cfg)
@@ -61,7 +61,10 @@ def main():
             copt = types.SimpleNamespace(batch_size=4, seed=3, crop_size=256)
             cds = SyntheticDataset(copt, size=8, batch_size=4, seed=3)
             batches = [{k: jnp.asarray(v) for k, v in b.items()} for b in cds]
-            quant = calibrate_int8(gen, state.g_params, state.g_sn, batches, cfg)
+            quant = calibrate_int8(
+                gen, state.g_params, state.g_sn, batches, cfg,
+                percentile=99.9 if variant.endswith("p999") else None,
+            )
         m = evaluate_model(state.g_params, state.g_sn, make_ds(), cfg, g_quant=quant)
         rows[variant] = {k: round(float(v), 4) for k, v in m.items()}
         print(variant, json.dumps(rows[variant]), flush=True)

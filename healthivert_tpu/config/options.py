@@ -77,9 +77,10 @@ def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--int8_calib", type=str, default="auto",
                         choices=["auto", "dynamic"],
                         help="int8 activation scales: 'auto' calibrates "
-                             "static per-tensor scales from the first batch "
-                             "(the mode that beats bf16); 'dynamic' keeps "
-                             "per-sample scales (batch-invariant, slower)")
+                             "static per-tensor 99.9th-percentile scales "
+                             "from the first batch (the mode that beats "
+                             "bf16); 'dynamic' keeps per-sample absmax "
+                             "scales (batch-invariant, slower)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--gan_head_preupdate", action="store_true",
                         help="G GAN terms vs PRE-update discriminators (XLA "

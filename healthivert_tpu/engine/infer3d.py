@@ -420,7 +420,12 @@ def synthesize_volumes(
                 ints["x1"], ints["x2"], ints["min_x"], ints["max_x"],
                 jnp.asarray(rat), cfg, use_bf16, use_pallas,
             )
-            g_quant = calib_to_quant(jax.device_get(calib))
+            # 99.9th-percentile scales: clips outlier activation mass so the
+            # 8-bit grid covers the bulk — measured strictly better than
+            # absmax-static and >= dynamic on quality at identical speed
+            # (experiments/int8_static_quality.py r4: PSNR 26.86 -> 27.37,
+            # SSIM 0.9190 -> 0.9213 on the shipped checkpoint)
+            g_quant = calib_to_quant(jax.device_get(calib), percentile=99.9)
         outs = _run_pass(
             g_params, g_sn, cfg, jobs, job_ratio, cam_stack, job_rows,
             batch_size, use_bf16, mesh=mesh, g_quant=g_quant,

@@ -120,6 +120,16 @@ class SNConv(nn.Module):
                 init_fn=lambda: jnp.zeros((), f32),
                 reduce_fn=jnp.maximum,
             )
+            # high-quantile alternative for outlier-robust static scales
+            # (calibrate_int8(percentile=...)): clipping the top ~0.1% of
+            # activation mass spends the 8-bit grid on the bulk instead
+            self.sow(
+                "calib",
+                "act_p999",
+                jnp.percentile(jnp.abs(xf), 99.9).astype(f32),
+                init_fn=lambda: jnp.zeros((), f32),
+                reduce_fn=jnp.maximum,
+            )
         if self.has_variable("quant", "act_scale"):
             # STATIC calibrated per-tensor scale (a constant): the dynamic
             # path below costs ~3 extra HBM sweeps per conv (abs -> reduce_max

@@ -258,15 +258,24 @@ def generator_forward(
     )
 
 
-def calib_to_quant(calib_tree):
-    """Map a mutable-["calib"] output tree (per-conv activation absmax sown
-    by SNConv) to the "quant" variable tree SNConv reads: act_absmax ->
-    act_scale = absmax / 127."""
+def calib_to_quant(calib_tree, percentile=None):
+    """Map a mutable-["calib"] output tree (per-conv activation stats sown
+    by SNConv) to the "quant" variable tree SNConv reads: act_absmax (or
+    act_p999 when percentile=99.9) -> act_scale = stat / 127.
+
+    percentile=99.9 clips the top ~0.1% of activation mass, spending the
+    8-bit grid on the bulk (saturating conv inputs beyond the calibrated
+    quantile instead of stretching the grid over outliers)."""
+    want = "act_p999" if percentile is not None else "act_absmax"
+    if percentile not in (None, 99.9):
+        raise ValueError("only percentile=99.9 is calibrated (act_p999 sow)")
 
     def walk(node):
         out = {}
         for k, v in node.items():
-            if k == "act_absmax":
+            if k in ("act_absmax", "act_p999"):
+                if k != want:
+                    continue
                 v = v[0] if isinstance(v, tuple) else v
                 out["act_scale"] = jnp.maximum(v.astype(jnp.float32), 1e-12) / 127.0
             else:
@@ -283,7 +292,8 @@ def merge_calib(a, b):
     return jax.tree.map(jnp.maximum, a, b)
 
 
-def calibrate_int8(gen: Generator, g_params, g_sn, batches, cfg: Pix2PixConfig):
+def calibrate_int8(gen: Generator, g_params, g_sn, batches, cfg: Pix2PixConfig,
+                   percentile=None):
     """Offline per-tensor int8 activation calibration (VERDICT r3 #3).
 
     Runs the int8 generator over the given generator_forward-style batches
@@ -312,7 +322,7 @@ def calibrate_int8(gen: Generator, g_params, g_sn, batches, cfg: Pix2PixConfig):
         calib = merge_calib(calib, jax.device_get(one(g_params, g_sn, batch)))
     if calib is None:
         raise ValueError("calibrate_int8 needs at least one batch")
-    return calib_to_quant(calib)
+    return calib_to_quant(calib, percentile=percentile)
 
 
 def _d_forward(disc, params, stats, x):

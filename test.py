@@ -78,7 +78,8 @@ def main(argv=None):
             # r4; dynamic per-sample scales cost ~3 extra HBM sweeps/conv)
             from healthivert_tpu.models.pix2pix import calibrate_int8
 
-            g_quant = calibrate_int8(gen, state.g_params, state.g_sn, [jb], cfg)
+            g_quant = calibrate_int8(gen, state.g_params, state.g_sn, [jb], cfg,
+                                     percentile=99.9)
         f = generator_forward(gen, state.g_params, state.g_sn, jb, cfg,
                               update_sn=False, g_quant=g_quant)
         visuals = {

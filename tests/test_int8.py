@@ -193,6 +193,42 @@ def test_generator_calibrate_int8_and_forward():
     assert d.mean() < 0.05, d.mean()
 
 
+def test_calibrate_int8_percentile():
+    """percentile=99.9 calibration: per-conv scales are <= the absmax scales
+    (outlier clipping can only shrink the grid), the quant tree has the same
+    structure, and the generator accepts it."""
+    from healthivert_tpu.data.synthetic import SyntheticDataset
+    from healthivert_tpu.models.generator import Generator
+    from healthivert_tpu.models.pix2pix import (
+        Pix2PixConfig, calibrate_int8, generator_forward, init_state,
+    )
+
+    cfg = Pix2PixConfig(ngf=4, image_size=64, compute_dtype="int8")
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    gen = Generator(cnum=cfg.ngf, dtype="int8")
+    ds = SyntheticDataset(batch_size=2, seed=0, n_volumes=1, shape=(64, 64, 12))
+    batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
+
+    q_max = calibrate_int8(gen, state.g_params, state.g_sn, [batch], cfg)
+    q_p = calibrate_int8(gen, state.g_params, state.g_sn, [batch], cfg,
+                         percentile=99.9)
+    lm, lp = jax.tree.leaves(q_max), jax.tree.leaves(q_p)
+    assert len(lm) == len(lp) and len(lm) > 20
+    assert all(float(p) <= float(m) + 1e-9 for p, m in zip(lp, lm))
+    assert any(float(p) < float(m) * 0.999 for p, m in zip(lp, lm)), \
+        "percentile calibration should clip at least one conv's outliers"
+    f = generator_forward(gen, state.g_params, state.g_sn, batch, cfg,
+                          update_sn=False, g_quant=q_p)
+    assert np.isfinite(np.float32(f["fake_b"])).all()
+
+    import pytest as _pytest
+
+    from healthivert_tpu.models.pix2pix import calib_to_quant
+
+    with _pytest.raises(ValueError):
+        calib_to_quant({}, percentile=95.0)
+
+
 def test_synthesize_volume_auto_quant():
     """quant='auto' calibrates from the call's own first batch and completes
     3D synthesis; output stays close to the dynamic-scale path."""
