@@ -31,7 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_cohort(root, seed=0):
+def build_cohort(root, seed=0, n_cases=(10, 3, 3)):
     from healthivert_tpu.data.synthetic import make_spine_volume
     from healthivert_tpu.utils import nifti
 
@@ -48,8 +48,8 @@ def build_cohort(root, seed=0):
     idx = 0
     # grade -> compression fraction (data/synthetic.py wedge model)
     frac_of = {0: 1.0, 1: 0.8, 2: 0.63, 3: 0.45}
-    for phase, n_cases in (("train", 10), ("val", 3), ("test", 3)):
-        for _ in range(n_cases):
+    for phase, n_phase in zip(("train", "val", "test"), n_cases):
+        for _ in range(n_phase):
             vert_ids = (18, 19, 20, 21, 22)
             fractured = {}
             grades = {}

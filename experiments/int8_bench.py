@@ -69,7 +69,8 @@ def main():
             if dtype == "int8-static":
                 icfg = type(cfg)(**{**cfg.__dict__, "compute_dtype": "int8"})
                 quant = calibrate_int8(
-                    gen, state.g_params, state.g_sn, [batch], icfg
+                    gen, state.g_params, state.g_sn, [batch], icfg,
+                    percentile=99.9,  # the shipping "auto" mode (r4)
                 )
             try:
                 out = step(state.g_params, state.g_sn, batch, quant)

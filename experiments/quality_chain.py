@@ -31,13 +31,17 @@ def main():
     ap.add_argument("--name", default="pretrained_synthetic")
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--cases", type=int, nargs=3, default=(10, 3, 3),
+                    metavar=("TRAIN", "VAL", "TEST"),
+                    help="cohort cases per phase (5 vertebrae each); the "
+                         "5-fold SVM figure is noisy below ~150 vertebrae")
     args = ap.parse_args()
 
     root = os.path.join(args.out, "data")
     os.makedirs(args.out, exist_ok=True)
 
     print("== 1. cohort", flush=True)
-    split = build_cohort(root, seed=args.seed)
+    split = build_cohort(root, seed=args.seed, n_cases=tuple(args.cases))
     counts = {ph: len(v) for ph, v in split.items()}
     print(f"vertebrae per phase: {counts}")
 

@@ -122,11 +122,20 @@ class SNConv(nn.Module):
             )
             # high-quantile alternative for outlier-robust static scales
             # (calibrate_int8(percentile=...)): clipping the top ~0.1% of
-            # activation mass spends the 8-bit grid on the bulk instead
+            # activation mass spends the 8-bit grid on the bulk instead.
+            # Estimated on a SPATIALLY-strided <=~2^20-element subsample,
+            # sliced BEFORE the abs: percentile sorts, and sorting (or even
+            # materializing |x| of) the full activation at production
+            # calibration batches kills the TPU compile/HBM (seen r4:
+            # remote-compile crash, then a 128MB-per-conv temp OOM).
+            import math as _math
+
+            stride = max(1, _math.ceil(_math.sqrt(xf.size / float(1 << 20))))
+            sub = xf[:, ::stride, ::stride, :] if xf.ndim == 4 else xf
             self.sow(
                 "calib",
                 "act_p999",
-                jnp.percentile(jnp.abs(xf), 99.9).astype(f32),
+                jnp.percentile(jnp.abs(sub), 99.9).astype(f32),
                 init_fn=lambda: jnp.zeros((), f32),
                 reduce_fn=jnp.maximum,
             )

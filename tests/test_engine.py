@@ -113,6 +113,30 @@ def test_synthesize_volume_mesh_sharded_matches_single_device(rng):
     np.testing.assert_array_equal(lb_8, lb_1)
 
 
+def test_synthesize_volume_mesh_int8_static_matches_single_device(rng):
+    """int8 + static auto-calibrated scales under the mesh: the quant tree
+    is a replicated constant in the shard_map specs, and calibration runs
+    unmeshed on the first batch — so sharded int8-static synthesis must be
+    bit-identical to the single-device path."""
+    import dataclasses
+
+    from healthivert_tpu.parallel import make_mesh
+
+    ct, labels, cam = make_spine_volume(
+        rng, shape=(64, 64, 16), vert_ids=(19, 20, 21), vert_height=12, gap=5,
+        fractured={20: 0.6},
+    )
+    cfg8 = dataclasses.replace(CFG, compute_dtype="int8")
+    state = init_state(jax.random.PRNGKey(0), cfg8)
+    args = (state.g_params, state.g_sn, cfg8, ct, labels, 20, cam)
+    ct_1, lb_1 = synthesize_volume(*args, batch_size=8, quant="auto")
+    ct_8, lb_8 = synthesize_volume(
+        *args, batch_size=8, quant="auto", mesh=make_mesh("data:8")
+    )
+    np.testing.assert_array_equal(ct_8, ct_1)
+    np.testing.assert_array_equal(lb_8, lb_1)
+
+
 def test_evaluate_model_mesh_matches_single_device():
     """Eval over a mesh (VERDICT r2 weak #5): per-sample metrics shard
     exactly, including a trailing batch that does not divide the mesh
