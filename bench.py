@@ -133,7 +133,6 @@ def main():
     int8_bs = None
     if results and os.environ.get("BENCH_INT8", "1") != "0":
         try:
-            int8_bs = max(results, key=results.get)
             gen8 = Generator(
                 cnum=cfg.ngf,
                 use_pallas_attention=jax.default_backend() == "tpu",
@@ -150,29 +149,34 @@ def main():
                 return f["fake_b"], f["fine_seg_bin"], f["pred2_h"]
 
             jit8 = jax.jit(infer_step8)
-            ds = SyntheticDataset(batch_size=int8_bs, seed=0, n_volumes=2)
-            batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
             from healthivert_tpu.models.pix2pix import calibrate_int8
             import dataclasses as _dc
 
-            quant = calibrate_int8(
-                gen8, state.g_params, state.g_sn, [batch],
-                _dc.replace(cfg, compute_dtype="int8"), percentile=99.9,
-            )
-            out = jit8(state.g_params, state.g_sn, batch, quant)  # compile
-            float(jnp.sum(out[2].astype(jnp.float32)))
-            iters = 10
-            int8_sps = 0.0
-            for _rep in range(2):
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    out = jit8(state.g_params, state.g_sn, batch, quant)
-                float(jnp.sum(out[0].astype(jnp.float32)))
-                int8_sps = max(int8_sps, int8_bs * iters / (time.perf_counter() - t0))
-            print(f"# int8 batch {int8_bs}: {int8_sps:.1f} slices/sec",
-                  file=sys.stderr)
+            # int8's sweet spot sits ABOVE bf16's (halved conv HBM traffic
+            # keeps bigger batches paying — experiments/int8_bench.py r4:
+            # 256/384/512 -> 2630/2878/3010 sl/s), so try bf16's best AND 512
+            for bs8 in dict.fromkeys([max(results, key=results.get), 512]):
+                ds = SyntheticDataset(batch_size=bs8, seed=0, n_volumes=2)
+                batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
+                quant = calibrate_int8(
+                    gen8, state.g_params, state.g_sn, [batch],
+                    _dc.replace(cfg, compute_dtype="int8"), percentile=99.9,
+                )
+                out = jit8(state.g_params, state.g_sn, batch, quant)  # compile
+                float(jnp.sum(out[2].astype(jnp.float32)))
+                iters = 10
+                sps8 = 0.0
+                for _rep in range(2):
+                    t0 = time.perf_counter()
+                    for _ in range(iters):
+                        out = jit8(state.g_params, state.g_sn, batch, quant)
+                    float(jnp.sum(out[0].astype(jnp.float32)))
+                    sps8 = max(sps8, bs8 * iters / (time.perf_counter() - t0))
+                print(f"# int8 batch {bs8}: {sps8:.1f} slices/sec",
+                      file=sys.stderr)
+                if int8_sps is None or sps8 > int8_sps:
+                    int8_sps, int8_bs = sps8, bs8
         except Exception as e:  # never lose the headline metric to an aux one
-            int8_sps = None
             print(f"# int8 bench failed: {e!r}"[:200], file=sys.stderr)
 
     # --- training throughput (BASELINE.json config 2: batch-16 training step,
