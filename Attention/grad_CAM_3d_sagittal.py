@@ -28,8 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def _slices_for(ct, labels, vert_id, size=256):
-    """Central-4/5 sagittal slices of a vertebra, normalized to [-1, 1]."""
+def _slices_for(ct, labels, vert_id, size=256, z_context=0):
+    """Central-4/5 sagittal slices of a vertebra, normalized to [-1, 1].
+
+    z_context=k stacks each center slice with its +-k sagittal neighbors as
+    channels (2.5D input, clamped at the volume edges) — the z-structure a
+    2D slice classifier can't see (a wedge deformity persists across
+    neighboring slices; noise doesn't). Returns (N, H, W, 2k+1)."""
     vert = labels == vert_id
     zs = np.nonzero(vert.any(axis=(0, 1)))[0]
     if zs.size == 0:
@@ -39,8 +44,14 @@ def _slices_for(ct, labels, vert_id, size=256):
     lo = z0 + (n - int(n * 4 / 5)) // 2
     hi = lo + int(n * 4 / 5)
     idx = list(range(lo, max(hi, lo + 1)))
-    sl = ct[:, :, idx].astype(np.float32) / 255.0 * 2 - 1
-    return np.moveaxis(sl, -1, 0)[..., None], idx  # (N, H, W, 1)
+    ctf = ct.astype(np.float32) / 255.0 * 2 - 1
+    nz = ct.shape[2]
+    stacks = [
+        ctf[:, :, [min(max(z + d, 0), nz - 1)
+                   for d in range(-z_context, z_context + 1)]]
+        for z in idx
+    ]
+    return np.stack(stacks), idx  # (N, H, W, 2k+1)
 
 
 def main(argv=None):
@@ -55,6 +66,12 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--z_context", type=int, default=2,
+                   help="2.5D input: each sample is the center slice +- this "
+                        "many sagittal neighbors as channels (VERDICT r4 #6; "
+                        "0 = the old pure-2D classifier). 'generate' reads "
+                        "the value the checkpoint was trained with from its "
+                        "meta.json when present")
     p.add_argument(
         "--gpu_ids", type=str, default="0",
         help="-1 selects the CPU backend (reference base_options.py:131-139 "
@@ -97,14 +114,17 @@ def main(argv=None):
         ]
         if not items:
             raise SystemExit("no training volumes found")
-        params = model.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 256, 256, 1)))
+        chans = 2 * args.z_context + 1
+        params = model.init(jax.random.PRNGKey(args.seed),
+                            jnp.zeros((1, 256, 256, chans)))
         opt_state = optax.scale_by_adam().init(params)
         for step in range(args.steps):
             xs, ys = [], []
             while len(xs) < args.batch:
                 pv, y = items[rng.integers(len(items))]
                 ct, lb = load_pv(pv)
-                sl, _ = _slices_for(ct, lb, int(pv.rsplit("_", 1)[1]))
+                sl, _ = _slices_for(ct, lb, int(pv.rsplit("_", 1)[1]),
+                                    z_context=args.z_context)
                 if sl is None:
                     continue
                 xs.append(sl[rng.integers(len(sl))])
@@ -116,11 +136,18 @@ def main(argv=None):
             if step % 50 == 0:
                 print(f"step {step}: loss {float(loss):.4f} acc {float(acc):.3f}")
         ckpt_io.save_checkpoint(params, args.out, "classifier")
-        print(f"saved classifier to {args.out}/classifier")
+        with open(os.path.join(args.out, "meta.json"), "w") as f:
+            json.dump({"z_context": args.z_context}, f)
+        print(f"saved classifier to {args.out}/classifier (z_context={args.z_context})")
         return
 
-    # generate
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 1)))
+    # generate — the input channel count must match the trained checkpoint
+    meta_path = os.path.join(args.ckpt or "", "meta.json")
+    if args.ckpt and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            args.z_context = int(json.load(f).get("z_context", args.z_context))
+    chans = 2 * args.z_context + 1
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, chans)))
     if args.ckpt and ckpt_io.latest_exists(args.ckpt, "classifier"):
         params = ckpt_io.restore_checkpoint(params, args.ckpt, "classifier")
         print(f"loaded classifier from {args.ckpt}/classifier")
@@ -134,7 +161,8 @@ def main(argv=None):
     for pv in sorted(set(pvs)):
         ct_img = nifti.load(os.path.join(args.dataroot, "CT", pv + ".nii.gz"))
         ct, lb = ct_img.get_fdata(), load_pv(pv)[1]
-        sl, idx = _slices_for(ct, lb, int(pv.rsplit("_", 1)[1]))
+        sl, idx = _slices_for(ct, lb, int(pv.rsplit("_", 1)[1]),
+                              z_context=args.z_context)
         if sl is None:
             continue
         x = jnp.asarray(sl)

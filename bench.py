@@ -91,6 +91,7 @@ def main():
     jit_step = jax.jit(infer_step)
 
     best = 0.0
+    best_batch = None
     results = {}
     # sweep and report the best: at true-bf16 convs the sweet spot is 256
     # (BENCH_r03: 256 -> 3329.9, 384 -> 3185.3, 512 -> 3229.9 sl/s; the old
@@ -119,8 +120,33 @@ def main():
             print(f"# batch {bs} failed: {e!r}"[:200], file=sys.stderr)
             continue
         results[bs] = sps
-        best = max(best, sps)
+        if sps > best:
+            best, best_batch = sps, batch
         print(f"# batch {bs}: {sps:.1f} slices/sec", file=sys.stderr)
+
+    # --- MFU bookkeeping (VERDICT r4 #9): XLA-counted forward TF/s at the
+    # best batch, vs the v5e bf16 peak (197 TF/s) and vs the architecture-
+    # limited conv ceiling (~47 TF/s: the generator's narrow channels cap
+    # MXU N-utilization at 0.239 — experiments/roofline.py derivation).
+    # Makes perf drift visible round-over-round without re-running roofline.
+    mfu = None
+    if results:
+        try:
+            bbs = best_batch["full"].shape[0]
+            ca = jit_step.lower(
+                state.g_params, state.g_sn, best_batch
+            ).compile().cost_analysis()
+            flops = float(ca.get("flops", float("nan"))) if ca else float("nan")
+            tfs = flops * best / bbs / 1e12
+            if np.isfinite(tfs):
+                mfu = {
+                    "fwd_tflops_per_s": round(tfs, 1),
+                    "pct_of_v5e_peak": round(100.0 * tfs / 197.0, 1),
+                    "pct_of_arch_ceiling": round(100.0 * tfs / 47.0, 1),
+                }
+                print(f"# MFU: {mfu}", file=sys.stderr)
+        except Exception as e:
+            print(f"# MFU accounting failed: {e!r}"[:200], file=sys.stderr)
 
     # --- int8 post-training-quantized inference at the headline batch ---
     # Quality is pinned (experiments/int8_{quality,3d_quality,static_quality}
@@ -183,38 +209,53 @@ def main():
     # full two-stage + attention + EEM losses, bf16 compute) ---
     train_sps = None
     train_sps_b128 = None
+    train_sps_b128_ref = None
     try:
         from healthivert_tpu.models.pix2pix import train_step
 
+        # shipping defaults (r5): gan_head_preupdate + crop_d3, both
+        # quality-validated at the 1000-step recipe; the reference-exact
+        # update semantics (--no-gan_head_preupdate --no-crop_d3) are also
+        # measured at bs128 for an honest deviation-free number
         tcfg = Pix2PixConfig(
             ngf=16, image_size=256, compute_dtype="bfloat16",
             pallas_attention=jax.default_backend() == "tpu",
         )
+        rcfg = Pix2PixConfig(
+            ngf=16, image_size=256, compute_dtype="bfloat16",
+            pallas_attention=jax.default_backend() == "tpu",
+            gan_head_preupdate=False, crop_d3=False,
+        )
         lr = jnp.float32(2e-4)
-        # bs16 = the reference's README training batch (apples-to-apples);
-        # bs128 = the measured single-chip throughput sweet spot
-        # (experiments/train_batch_sweep.py: 481 sl/s vs 457 @bs256,
-        # 391 @bs192 — the same 128-lane batch resonance as inference)
-        for tbs in (16, 128):
-            tstate = init_state(jax.random.PRNGKey(0), tcfg, batch_size=tbs)
+
+        def train_sps_at(cfg_, tbs):
+            tstate = init_state(jax.random.PRNGKey(0), cfg_, batch_size=tbs)
             tds = SyntheticDataset(batch_size=tbs, seed=1, n_volumes=2)
             tbatch = {k: jnp.asarray(v) for k, v in tds.sample_batch().items()}
-            tstate, losses = train_step(tstate, tbatch, lr, tcfg)  # compile
+            tstate, losses = train_step(tstate, tbatch, lr, cfg_)  # compile
             float(losses["G_maskL1"])
             iters = 10
             sps = 0.0
             for _rep in range(2):  # best-of-2: tunneled backend jitter
                 t0 = time.perf_counter()
                 for _ in range(iters):
-                    tstate, losses = train_step(tstate, tbatch, lr, tcfg)
+                    tstate, losses = train_step(tstate, tbatch, lr, cfg_)
                 float(losses["G_maskL1"])
                 sps = max(sps, tbs * iters / (time.perf_counter() - t0))
-            print(f"# train step (batch {tbs}, bf16): {sps:.1f} slices/sec",
-                  file=sys.stderr)
-            if tbs == 16:
-                train_sps = sps
-            else:
-                train_sps_b128 = sps
+            return sps
+
+        # bs16 = the reference's README training batch (apples-to-apples);
+        # bs128 = the measured single-chip throughput sweet spot
+        # (experiments/train_batch_sweep.py: the 128-lane batch resonance)
+        train_sps = train_sps_at(tcfg, 16)
+        print(f"# train step (batch 16, bf16): {train_sps:.1f} slices/sec",
+              file=sys.stderr)
+        train_sps_b128 = train_sps_at(tcfg, 128)
+        print(f"# train step (batch 128, bf16): {train_sps_b128:.1f} slices/sec",
+              file=sys.stderr)
+        train_sps_b128_ref = train_sps_at(rcfg, 128)
+        print(f"# train step (batch 128, reference update semantics): "
+              f"{train_sps_b128_ref:.1f} slices/sec", file=sys.stderr)
     except Exception as e:  # never lose the headline metric to an aux one
         print(f"# train bench failed: {e!r}", file=sys.stderr)
 
@@ -358,6 +399,8 @@ def main():
         "unit": "slices/sec",
         "vs_baseline": round(best / base, 3),
     }
+    if mfu is not None:
+        record["mfu"] = mfu
     if int8_sps is not None:
         record["int8_slices_per_sec"] = round(int8_sps, 2)
         record["int8_batch"] = int8_bs
@@ -365,6 +408,9 @@ def main():
         record["train_slices_per_sec_b16"] = round(train_sps, 2)
     if train_sps_b128 is not None:
         record["train_slices_per_sec_b128"] = round(train_sps_b128, 2)
+    if train_sps_b128_ref is not None:
+        record["train_slices_per_sec_b128_reference_semantics"] = round(
+            train_sps_b128_ref, 2)
     if grad_parity is not None:
         record["attn_grad_parity"] = grad_parity
     if spine_latency is not None:

@@ -133,6 +133,14 @@ def main(argv=None):
                 # actually beats bf16 (experiments/int8_bench.py r4)
                 quant="auto" if (ns.compute_dtype == "int8"
                                  and opt.int8_calib == "auto") else None,
+                # persisted next to the checkpoint: calibrate once on the
+                # first call, then every later call (any --slice_batch or
+                # volume grouping) reuses the same scales — int8 outputs
+                # stay reproducible across partitions (ADVICE r4)
+                quant_store=os.path.join(
+                    opt.checkpoints_dir, opt.name, "int8_quant.msgpack")
+                if ns.compute_dtype == "int8" and opt.int8_calib == "auto"
+                else None,
             )
             for i, r in zip(idxs, sub):
                 results[i] = r

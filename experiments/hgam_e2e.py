@@ -113,6 +113,8 @@ def main():
     ap.add_argument("--gpu_ids", default="0")
     ap.add_argument("--cls_steps", type=int, default=300)
     ap.add_argument("--gan_steps", type=int, default=150)
+    ap.add_argument("--z_context", type=int, default=2,
+                    help="2.5D classifier context (0 = the r4 pure-2D mode)")
     args = ap.parse_args()
 
     root = os.path.join(args.out, "data")
@@ -128,6 +130,7 @@ def main():
     run([sys.executable, "-u", "Attention/grad_CAM_3d_sagittal.py", "train",
          "--dataroot", root, "--split", os.path.join(root, "vertebra_data_local.json"),
          "--out", os.path.join(args.out, "cls"), "--steps", str(args.cls_steps),
+         "--z_context", str(args.z_context),
          "--gpu_ids", args.gpu_ids], os.path.join(args.out, "cls_train.log"))
     print(open(os.path.join(args.out, "cls_train.log")).read().splitlines()[-1])
 

@@ -79,15 +79,35 @@ def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="int8 activation scales: 'auto' calibrates "
                              "static per-tensor 99.9th-percentile scales "
                              "from the first batch (the mode that beats "
-                             "bf16); 'dynamic' keeps per-sample absmax "
-                             "scales (batch-invariant, slower)")
+                             "bf16) — eval_3d persists them to "
+                             "{checkpoints_dir}/{name}/int8_quant.msgpack "
+                             "and reuses the file, so outputs don't depend "
+                             "on batch grouping/--slice_batch (delete it to "
+                             "recalibrate); 'dynamic' keeps per-sample "
+                             "absmax scales (batch-invariant by "
+                             "construction, ~25%% slower)")
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--gan_head_preupdate", action="store_true",
+    parser.add_argument("--gan_head_preupdate",
+                        action=argparse.BooleanOptionalAction, default=True,
                         help="G GAN terms vs PRE-update discriminators (XLA "
                              "CSEs the D(fake) forwards out of the G head: "
-                             "+4%% train throughput @bs128 on v5e). Opt-in "
-                             "deviation: the reference updates D first and "
-                             "scores G against the updated Ds")
+                             "+4%% train throughput @bs128 on v5e; quality "
+                             "validated at the 1000-step recipe, r5). "
+                             "Default ON; --no-gan_head_preupdate restores "
+                             "the reference's exact update order (D first, "
+                             "G against the updated Ds)")
+    parser.add_argument("--crop_d3",
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="feed D3 a static 48x128 crop around the band "
+                             "mask instead of the full frame (its input is "
+                             "nonzero on <=41x70 px; the crop provably "
+                             "contains all of it at ~1/10 the PatchGAN "
+                             "FLOPs: +17%% train throughput @bs128, quality "
+                             "validated at the 1000-step recipe, r5). "
+                             "Default ON; --no-crop_d3 restores the "
+                             "reference's full-frame D3 (undiluted "
+                             "patch-loss mean + BatchNorm stats are the "
+                             "deviation)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize the generator forward in the backward "
                              "(jax.checkpoint): fits larger train batches for ~one "
@@ -263,4 +283,9 @@ class TestOptions(BaseOptions):
     def initialize(self, parser):
         parser = _test_parser(_base_parser(parser))
         parser.set_defaults(load_size=parser.get_default("crop_size"))
+        # inference CLIs default to bf16 convs like eval_3d_sagittal_twostage
+        # (training keeps the reference's f32 default); --compute_dtype
+        # float32 still forces true-f32 everywhere. Guards the silent
+        # f32-convs-on-TPU bug class caught in bench/infer3d (r3)
+        parser.set_defaults(compute_dtype="bfloat16")
         return parser

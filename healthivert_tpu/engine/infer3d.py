@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -313,6 +314,7 @@ def synthesize_volumes(
     axis: int = 2,
     mesh=None,
     quant=None,
+    quant_store=None,
 ):
     """Batched multi-vertebra synthesis: the three passes are shared across
     ALL volumes (vertebrae are independent — SURVEY.md §3.2), so a whole
@@ -329,7 +331,14 @@ def synthesize_volumes(
     this call's own first pass-1 batch (one extra dispatch; removes the
     per-conv dynamic-scale HBM sweeps that made int8 slower than bf16 in
     BENCH_r03); or a precomputed tree from models.pix2pix.calibrate_int8 /
-    calib_to_quant for deterministic cross-call parity."""
+    calib_to_quant for deterministic cross-call parity.
+
+    quant_store (with quant="auto"): path to a msgpack file persisting the
+    calibrated tree. If it exists the tree is LOADED (no calibration
+    dispatch) — making int8 outputs reproducible across calls regardless of
+    batch grouping / --slice_batch / volume partitioning (the auto mode's
+    scales otherwise depend on what shares the first chunk); if missing,
+    the freshly calibrated tree is saved there for every later call."""
     preps = []
     all_cams = []
     row_off = 0
@@ -379,6 +388,11 @@ def synthesize_volumes(
     g_quant = None if quant == "auto" else quant
     if quant is not None and cfg.compute_dtype != "int8":
         raise ValueError("quant= is only meaningful with compute_dtype='int8'")
+    if quant == "auto" and quant_store and os.path.exists(quant_store):
+        from flax import serialization
+
+        with open(quant_store, "rb") as f:
+            g_quant = serialization.msgpack_restore(f.read())
 
     # three passes: upper neighbor, lower neighbor, target — jobs from every
     # volume share the dispatches
@@ -426,6 +440,13 @@ def synthesize_volumes(
             # (experiments/int8_static_quality.py r4: PSNR 26.86 -> 27.37,
             # SSIM 0.9190 -> 0.9213 on the shipped checkpoint)
             g_quant = calib_to_quant(jax.device_get(calib), percentile=99.9)
+            if quant_store:
+                from flax import serialization
+
+                os.makedirs(os.path.dirname(quant_store) or ".", exist_ok=True)
+                with open(quant_store, "wb") as f:
+                    f.write(serialization.msgpack_serialize(
+                        jax.device_get(g_quant)))
         outs = _run_pass(
             g_params, g_sn, cfg, jobs, job_ratio, cam_stack, job_rows,
             batch_size, use_bf16, mesh=mesh, g_quant=g_quant,

@@ -117,7 +117,8 @@ def run_training(opt, opt_test=None, max_steps=None, profile_steps=None):
         # 10.7 ms @bs16, 33.9 vs 44.4 @bs64 against the XLA formulation).
         pallas_attention=jax.default_backend() == "tpu",
         remat=getattr(opt, "remat", False),
-        gan_head_preupdate=getattr(opt, "gan_head_preupdate", False),
+        gan_head_preupdate=getattr(opt, "gan_head_preupdate", True),
+        crop_d3=getattr(opt, "crop_d3", True),
     )
     # multi-host: init jax.distributed when the standard env vars ask for it
     # (the reference's parallelism is single-process DataParallel,

@@ -50,6 +50,20 @@ class Visualizer:
         self.log_name = os.path.join(self.run_dir, "loss_log.txt")
         self.metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
         self.wandb = None
+        if getattr(opt, "display_id", 0) > 0:
+            # honesty for reference users: --display_id/--display_server/
+            # --display_port drove a live visdom dashboard in the reference
+            # (util/visualizer.py:83-113, auto-spawning a server); visdom is
+            # not in this image, so the live view is the HTML gallery + the
+            # JSONL metric sink instead. One-time note so nobody waits on a
+            # dashboard that never starts.
+            print(
+                "note: visdom live display (--display_id "
+                f"{opt.display_id}) is replaced by the HTML gallery at "
+                f"{os.path.join(self.run_dir, 'web', 'index.html')} and "
+                f"{self.metrics_path}; --display_server/--display_port are "
+                "ignored"
+            )
         if getattr(opt, "use_wandb", False):
             # optional sink, parity with util/visualizer.py:89-91; gated
             # since wandb is not baked into this image
@@ -153,15 +167,26 @@ class HTMLGallery:
 
 
 def save_images(gallery: HTMLGallery, visuals: Dict[str, np.ndarray], name: str,
-                width=256, header=None):
-    """Write one result row (util/visualizer.py:21-52)."""
+                width=256, header=None, aspect_ratio=1.0):
+    """Write one result row (util/visualizer.py:21-52).
+
+    aspect_ratio != 1.0 resizes each saved PNG with the reference's exact
+    (quirky, h/w-swapped) formula — util/util.py:51-66: ar > 1 stretches to
+    (h, w*ar), ar < 1 to (h/ar, w), both PIL BICUBIC.
+    """
     from PIL import Image
 
     ims, txts = [], []
     for label, im in visuals.items():
         arr = visual_to_uint8(label, im)
+        pil = Image.fromarray(arr)
+        h, w = arr.shape[:2]
+        if aspect_ratio > 1.0:
+            pil = pil.resize((h, int(w * aspect_ratio)), Image.BICUBIC)
+        elif aspect_ratio < 1.0:
+            pil = pil.resize((int(h / aspect_ratio), w), Image.BICUBIC)
         fname = f"{name}_{label}.png"
-        Image.fromarray(arr).save(os.path.join(gallery.img_dir, fname))
+        pil.save(os.path.join(gallery.img_dir, fname))
         ims.append(fname)
         txts.append(label)
     gallery.add_images(ims, txts, width, header=header)

@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# quantile grid sown by SNConv's int8 calibration pass (act_pq); the scale
+# picked at quantization time is one of these (calibrate_int8(percentile=))
+CALIB_PERCENTILES = (99.0, 99.5, 99.9, 99.99)
+
 _ACT = {
     "relu": nn.relu,
     "elu": nn.elu,
@@ -84,7 +88,14 @@ class SNConv(nn.Module):
 
         dtype = self.dtype or x.dtype
         if dtype == "int8":
-            return self._int8_conv(x, kernel, bias)
+            if self.features >= 8:
+                return self._int8_conv(x, kernel, bias)
+            # mixed-precision heads (r5): the 1-channel output convs
+            # (conv17/18, allconv17/18 — reference inpaint_networks.py:
+            # 112-115,225-230) quantize the FINAL image/seg directly for
+            # ~1/16th of a trunk conv's FLOPs — all quality risk, no speed.
+            # They run bf16 inside int8 mode; everything wide stays int8.
+            dtype = jnp.bfloat16
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),
@@ -132,11 +143,15 @@ class SNConv(nn.Module):
 
             stride = max(1, _math.ceil(_math.sqrt(xf.size / float(1 << 20))))
             sub = xf[:, ::stride, ::stride, :] if xf.ndim == 4 else xf
+            # one sort serves the whole sweep grid: jnp.percentile takes a
+            # vector q, so calibrating {99, 99.5, 99.9, 99.99} costs the
+            # same as one quantile (calib_to_quant picks the index)
             self.sow(
                 "calib",
-                "act_p999",
-                jnp.percentile(jnp.abs(sub), 99.9).astype(f32),
-                init_fn=lambda: jnp.zeros((), f32),
+                "act_pq",
+                jnp.percentile(jnp.abs(sub), jnp.asarray(CALIB_PERCENTILES))
+                .astype(f32),
+                init_fn=lambda: jnp.zeros((len(CALIB_PERCENTILES),), f32),
                 reduce_fn=jnp.maximum,
             )
         if self.has_variable("quant", "act_scale"):
@@ -216,7 +231,8 @@ def normal_init(stddev=0.02, mean=0.0):
     return init
 
 
-def weight_init(init_type: str = "normal", init_gain: float = 0.02):
+def weight_init(init_type: str = "normal", init_gain: float = 0.02,
+                transpose: bool = False):
     """Conv/linear kernel initializer selected by --init_type/--init_gain.
 
     init_weights parity (/root/reference/models/networks.py:68-99):
@@ -225,17 +241,24 @@ def weight_init(init_type: str = "normal", init_gain: float = 0.02):
       kaiming     -> kaiming_normal_(a=0, fan_in): std = sqrt(2/fan_in)
                      (the reference passes no gain here; init_gain is ignored)
       orthogonal  -> orthogonal_(gain)
-    torch's fan convention for conv weights (fan_in = in_ch*kh*kw) matches
-    jax's, so variance_scaling reproduces the torch std exactly. BatchNorm
-    scales always use normal_init(init_gain, 1.0) regardless of the scheme
-    (networks.py:94-96) — callers handle that separately.
+    Fan conventions: for nn.Conv, torch's fan_in (= in_ch*kh*kw, computed
+    from weight.size(1)=in_ch) matches jax's. For nn.ConvTranspose pass
+    transpose=True: torch's deconv weight is (in, out, kh, kw), so its
+    "fan_in" is OUT_ch*kh*kw — which is flax's fan_OUT for the
+    (kh, kw, in, out) kernel — so kaiming maps to variance_scaling
+    "fan_out" there. xavier (fan_avg) is symmetric in the two fans and
+    needs no flip. torch's orthogonal_ flattens (dim0, rest) which matches
+    no flax axis order exactly for 4-D kernels; the flax orthogonal
+    (column_axis=-1) is kept for both — same distribution family, both are
+    orthogonal bases, only the flattening convention differs.
     """
     if init_type == "normal":
         return normal_init(init_gain)
     if init_type == "xavier":
         return nn.initializers.variance_scaling(init_gain**2, "fan_avg", "normal")
     if init_type == "kaiming":
-        return nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+        return nn.initializers.variance_scaling(
+            2.0, "fan_out" if transpose else "fan_in", "normal")
     if init_type == "orthogonal":
         return nn.initializers.orthogonal(scale=init_gain, column_axis=-1)
     raise NotImplementedError(

@@ -74,7 +74,8 @@ class DualHeadUNet(nn.Module):
                 f = self.ngf * 2 ** (i - 1) if i > 0 else self.out_features
                 act = final_act if i == 0 else "relu"
                 h = _up(h, f, f"{tag}_up{j}", train=train, act=act,
-                        kinit=weight_init(self.init_type, self.init_gain),
+                        kinit=weight_init(self.init_type, self.init_gain,
+                                          transpose=True),
                         gain=self.init_gain)
                 if j < len(feats) - 1:
                     h = jnp.concatenate([h, feats[-2 - j]], axis=-1)
@@ -105,7 +106,8 @@ class UnetGenerator(nn.Module):
         for j, i in enumerate(reversed(range(self.num_downs))):
             f = widths[i - 1] if i > 0 else self.out_features
             h = _up(h, f, f"up{j}", train=train, act="relu" if i > 0 else "none",
-                    kinit=weight_init(self.init_type, self.init_gain),
+                    kinit=weight_init(self.init_type, self.init_gain,
+                                      transpose=True),
                     gain=self.init_gain)
             if i > 0:
                 h = jnp.concatenate([h, feats[i - 1]], axis=-1)
@@ -157,7 +159,7 @@ class ResnetGenerator(nn.Module):
                             init_gain=self.init_gain, name=f"block{i}")(h, train)
         for i in range(2):
             h = nn.ConvTranspose(self.ngf * 2 ** (1 - i), (3, 3), (2, 2), padding="SAME",
-                                 kernel_init=weight_init(self.init_type, self.init_gain), name=f"up{i}")(h)
+                                 kernel_init=weight_init(self.init_type, self.init_gain, transpose=True), name=f"up{i}")(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name=f"up{i}_bn")(h)
             h = nn.relu(h)
         h = jnp.pad(h, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
@@ -201,15 +203,15 @@ class SegDiscriminator(nn.Module):
             f = max(self.ndf * min(2 ** (self.n_layers - i), 8), self.ndf)
             if i == 1:  # torch convT(k4, s1, p1): out = in + 1
                 s = nn.ConvTranspose(f, (4, 4), (1, 1), padding=((1, 1), (1, 1)),
-                                     kernel_init=weight_init(self.init_type, self.init_gain), name=f"dec{i}")(s)
+                                     kernel_init=weight_init(self.init_type, self.init_gain, transpose=True), name=f"dec{i}")(s)
             else:
                 s = nn.ConvTranspose(f, (4, 4), (2, 2), padding=((2, 2), (2, 2)),
-                                     kernel_init=weight_init(self.init_type, self.init_gain), name=f"dec{i}")(s)
+                                     kernel_init=weight_init(self.init_type, self.init_gain, transpose=True), name=f"dec{i}")(s)
             s = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              name=f"dec{i}_bn")(s)
             s = nn.relu(s)
         seg = nn.ConvTranspose(1, (4, 4), (2, 2), padding=((2, 2), (2, 2)),
-                               kernel_init=weight_init(self.init_type, self.init_gain), name="seg_out")(s)
+                               kernel_init=weight_init(self.init_type, self.init_gain, transpose=True), name="seg_out")(s)
         return logits, nn.sigmoid(seg)
 
 

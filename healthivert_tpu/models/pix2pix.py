@@ -85,20 +85,44 @@ class Pix2PixConfig:
     # otherwise OOM; numerics are unchanged (pinned by
     # tests/test_train_step.py::test_remat_matches_baseline).
     remat: bool = False
-    # DOCUMENTED DEVIATION (opt-in): compute the G-head GAN terms against the
-    # PRE-update discriminators instead of the reference's post-update ones
-    # (pix2pix_model.py:356-382 updates D first, then G against updated Ds).
-    # The D(fake) forward inside each D update and the G-head D(fake) forward
-    # then share identical subexpressions, which XLA CSE merges — saving one
-    # full PatchGAN forward per discriminator per step. The discriminators
-    # are the FAT nets here (ndf=64..512 vs ngf=16: one basic-D forward is
-    # ~6.2 GFLOP/sample vs the whole two-stage generator's 13.8), so this is
-    # a real cut. GAN-theoretically this is the standard simultaneous
-    # (Jacobi-style) update instead of the reference's alternating
-    # (Gauss-Seidel) one. Exactly equal to the default at lr=0 (pinned by
-    # tests/test_train_step.py); throughput measured in
-    # experiments/train_trace.py.
-    gan_head_preupdate: bool = False
+    # DOCUMENTED DEVIATION (DEFAULT-ON since r5): compute the G-head GAN
+    # terms against the PRE-update discriminators instead of the reference's
+    # post-update ones (pix2pix_model.py:356-382 updates D first, then G
+    # against updated Ds). The D(fake) forward inside each D update and the
+    # G-head D(fake) forward then share identical subexpressions, which XLA
+    # CSE merges — saving one full PatchGAN forward per discriminator per
+    # step. The discriminators are the FAT nets here (ndf=64..512 vs ngf=16:
+    # one basic-D forward is ~6.2 GFLOP/sample vs the whole two-stage
+    # generator's 13.8), so this is a real cut: +4.1% train throughput
+    # @bs128 on v5e (experiments/train_trace.py). GAN-theoretically this is
+    # the standard simultaneous (Jacobi-style) update instead of the
+    # reference's alternating (Gauss-Seidel) one. Exactly equal to False at
+    # lr=0 (pinned by tests/test_train_step.py); quality validated at the
+    # full 1000-step bs32 recipe on-chip (r5: step-1000 eval SSIM 0.9445 /
+    # PSNR 29.2 / Dice 0.9886 / IoU 0.977 vs the r4 post-update baseline
+    # 0.933 / 27.6 / 0.988 / 0.979 — at or above on every metric).
+    # --no-gan_head_preupdate restores exact reference update semantics.
+    gan_head_preupdate: bool = True
+    # DOCUMENTED DEVIATION (DEFAULT-ON since r5): feed D3 a static 48x128
+    # crop around the band mask instead of the full frame. D3's input
+    # (mask * fake_B * center-column window, reference pix2pix_model.py:
+    # 254-260) is nonzero on ≤41 rows × 70 cols, yet the reference convolves
+    # the full 256² of zeros through the ndf=64 PatchGAN — ~10.7x the FLOPs
+    # of the content. The crop provably contains every nonzero pixel
+    # (ops/geometry.band_crop) so D3 and the G gradient through it see all
+    # the information; what changes is the GAN-loss normalization (the
+    # patch-logit mean no longer averages ~90% zero-vs-zero patches, so
+    # D3's learning signal is UNdiluted — a strictly sharper local critic)
+    # and D3's BatchNorm statistics (computed over content, not
+    # zero-padding). MEASURED (v5e, experiments/crop_d3_bench.py r5): train
+    # step 255.5 -> 219.2 ms @bs128 (+16.6%; 500.9 -> 583.8 sl/s), +8.4%
+    # @bs16. Quality validated at the full 1000-step bs32 recipe on-chip
+    # (step-1000 eval SSIM 0.9331 / PSNR 27.40 / Dice 0.9878 / IoU 0.9868 /
+    # DiffH 1.74 vs the r4 full-frame baseline 0.933 / 27.6 / 0.988 /
+    # 0.979 / ~1.8 — at parity, IoU/DiffH better). --no-crop_d3 restores
+    # the reference's full-frame D3; incompatible with vmap_discriminators
+    # (the three D inputs no longer share shapes).
+    crop_d3: bool = True
 
 
 @struct.dataclass
@@ -261,22 +285,30 @@ def generator_forward(
 def calib_to_quant(calib_tree, percentile=None):
     """Map a mutable-["calib"] output tree (per-conv activation stats sown
     by SNConv) to the "quant" variable tree SNConv reads: act_absmax (or
-    act_p999 when percentile=99.9) -> act_scale = stat / 127.
+    the chosen entry of the act_pq quantile vector) -> act_scale = stat/127.
 
-    percentile=99.9 clips the top ~0.1% of activation mass, spending the
-    8-bit grid on the bulk (saturating conv inputs beyond the calibrated
-    quantile instead of stretching the grid over outliers)."""
-    want = "act_p999" if percentile is not None else "act_absmax"
-    if percentile not in (None, 99.9):
-        raise ValueError("only percentile=99.9 is calibrated (act_p999 sow)")
+    percentile clips the top activation mass above that quantile, spending
+    the 8-bit grid on the bulk (saturating conv inputs beyond the calibrated
+    quantile instead of stretching the grid over outliers). Must be one of
+    layers.CALIB_PERCENTILES — SNConv sows the whole grid in one sort, so
+    sweeping costs nothing extra (experiments/int8_static_quality.py)."""
+    from .layers import CALIB_PERCENTILES
+
+    if percentile is not None and percentile not in CALIB_PERCENTILES:
+        raise ValueError(
+            f"percentile must be one of {CALIB_PERCENTILES} (the act_pq "
+            f"calibration grid), got {percentile}")
+    qidx = None if percentile is None else CALIB_PERCENTILES.index(percentile)
 
     def walk(node):
         out = {}
         for k, v in node.items():
-            if k in ("act_absmax", "act_p999"):
-                if k != want:
+            if k in ("act_absmax", "act_pq"):
+                if (k == "act_pq") != (qidx is not None):
                     continue
                 v = v[0] if isinstance(v, tuple) else v
+                if qidx is not None:
+                    v = v[qidx]
                 out["act_scale"] = jnp.maximum(v.astype(jnp.float32), 1e-12) / 127.0
             else:
                 out[k] = walk(v)
@@ -394,6 +426,14 @@ def train_step(
     center = geo.local_crop_mask(s, s)[None, :, :, None]
     fake_local = batch["mask"] * fake_b * center
     real_local = batch["mask"] * full * center
+    if cfg.crop_d3:
+        if cfg.vmap_discriminators:
+            raise ValueError("crop_d3 is incompatible with vmap_discriminators "
+                             "(the three D inputs no longer share shapes)")
+        _r, _c = min(48, s), min(128, s)
+        _crop = lambda x: geo.band_crop_batch(x, batch["mask"], _r, _c)
+        fake_local = _crop(fake_local)
+        real_local = _crop(real_local)
     real_edges = sobel_edges(batch["vert_seg"])
 
     # --- discriminator updates (fakes detached) ---
@@ -481,6 +521,9 @@ def train_step(
         )
         seg_bin = (fine_seg > 0.5).astype(fine_seg.dtype)
         f_local = batch["mask"] * fake_b * center
+        if cfg.crop_d3:
+            f_local = geo.band_crop_batch(
+                f_local, batch["mask"], min(48, s), min(128, s))
         if cfg.vmap_discriminators:
             def d_head(p, st, x):
                 logits, _ = _d_forward(disc, p, st, x)
@@ -568,9 +611,12 @@ class LRSchedule:
     def __init__(self, opt):
         self.policy = getattr(opt, "lr_policy", "linear")
         self.opt = opt
-        self._plateau_best = None
+        # ReduceLROnPlateau state (torch defaults: best=inf for mode=min,
+        # cooldown=0, eps=1e-8, min_lr=0)
+        self._plateau_best = float("inf")
         self._plateau_bad = 0
-        self._plateau_factor = 1.0
+        self._plateau_cooldown = 0
+        self._plateau_lr = float(getattr(opt, "lr", 2e-4))
 
     def scale(self, epoch: int, metric: float | None = None) -> float:
         o = self.opt
@@ -591,17 +637,32 @@ class LRSchedule:
 
             return 0.5 * (1.0 + math.cos(math.pi * epoch / o.n_epochs))
         if self.policy == "plateau":
-            # ReduceLROnPlateau(mode=min, factor=0.2, threshold=0.01, patience=5)
+            # torch.optim.lr_scheduler.ReduceLROnPlateau(mode='min',
+            # factor=0.2, threshold=0.01, patience=5) — networks.py:57-58 —
+            # reproducing torch's step() exactly: rel-threshold comparison
+            # (a < best*(1-threshold)), best updates on EVERY improvement,
+            # cooldown (default 0) zeroes bad-epoch counting, reductions
+            # fire when num_bad > patience, and the eps=1e-8 guard skips
+            # lr updates smaller than eps (flooring the decay ~1e-8).
+            # Oracle-pinned against torch itself in
+            # tests/test_train_step.py::test_plateau_matches_torch.
             if metric is not None:
-                if self._plateau_best is None or metric < self._plateau_best * (1 - 0.01):
+                metric = float(metric)
+                if metric < self._plateau_best * (1 - 0.01):
                     self._plateau_best = metric
                     self._plateau_bad = 0
                 else:
                     self._plateau_bad += 1
-                    if self._plateau_bad > 5:
-                        self._plateau_factor *= 0.2
-                        self._plateau_bad = 0
-            return self._plateau_factor
+                if self._plateau_cooldown > 0:
+                    self._plateau_cooldown -= 1
+                    self._plateau_bad = 0
+                if self._plateau_bad > 5:
+                    new_lr = max(self._plateau_lr * 0.2, 0.0)
+                    if self._plateau_lr - new_lr > 1e-8:
+                        self._plateau_lr = new_lr
+                    self._plateau_cooldown = 0
+                    self._plateau_bad = 0
+            return self._plateau_lr / float(getattr(self.opt, "lr", 2e-4))
         raise NotImplementedError(f"learning rate policy [{self.policy}]")
 
 

@@ -106,6 +106,35 @@ shift_context_batch = jax.vmap(shift_context, in_axes=(0, 0, 0, 0, 0))
 shrm_paste_batch = jax.vmap(shrm_paste, in_axes=(0, 0, 0, 0, 0, 0))
 
 
+def band_crop(img: jnp.ndarray, mask: jnp.ndarray, rows: int = 48,
+              cols: int = 128) -> jnp.ndarray:
+    """Static-shape crop of `img` guaranteed to contain the full support of
+    ``mask * img * local_crop_mask``: D3's input.
+
+    D3's local input (reference pix2pix_model.py:254-260) is nonzero only on
+    the band-mask rows (a fixed maxheight=40-row band, ≤41 rows inclusive —
+    data/sampler.band_and_shift) intersected with the 70 center columns —
+    yet the reference convolves the full 256² of mostly zeros through an
+    ndf=64 PatchGAN. This crops a (rows, cols) window: row start tracks the
+    mask's first nonzero row (data-dependent VALUE, static SHAPE — a
+    dynamic_slice, so XLA still sees fixed shapes); columns are the static
+    centered window. With rows=48 ≥ 41+3 margin and cols=128 ⊇ [c-35, c+35)
+    every nonzero pixel survives, so D3 (and the G gradient through it)
+    sees all the content at ~1/10.7 the conv FLOPs.
+
+    img/mask: (H, W, C). Differentiable in img (dynamic_slice VJP).
+    """
+    h, w = img.shape[0], img.shape[1]
+    row_any = jnp.any(mask > 0, axis=(1, 2))
+    first = jnp.argmax(row_any)  # 0 if empty mask: harmless (crop of zeros)
+    r0 = jnp.clip(first - 3, 0, h - rows)
+    c0 = (w - cols) // 2
+    return jax.lax.dynamic_slice(img, (r0, c0, 0), (rows, cols, img.shape[2]))
+
+
+band_crop_batch = jax.vmap(band_crop, in_axes=(0, 0, None, None))
+
+
 def local_crop_mask(height_rows: int, width: int, half_width: int = 35) -> jnp.ndarray:
     """Central-column mask used by discriminator D3's local crop
     (pix2pix_model.py:254-258): columns [W//2-35, W//2+35) set to 1.

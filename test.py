@@ -96,11 +96,13 @@ def main(argv=None):
         visuals["offset_flow"] = offsets_to_flow_image(
             np.asarray(f["gen"].offsets), upscale=8
         )[0]
-        save_images(gallery, visuals, f"{i:04d}", width=opt.display_winsize)
+        save_images(gallery, visuals, f"{i:04d}", width=opt.display_winsize,
+                    aspect_ratio=getattr(opt, "aspect_ratio", 1.0))
         if i % 5 == 0:
             print(f"processing ({i:04d})-th image...")
     gallery.save()
     print(f"wrote {web_dir}/index.html")
+    return cfg
 
 
 if __name__ == "__main__":

@@ -136,7 +136,9 @@ def test_hgam_cli_train_generate(tmp_path):
 
 
 def test_train_gan_head_preupdate_flag(tmp_path):
-    """--gan_head_preupdate must reach Pix2PixConfig (threaded like --remat)."""
+    """gan_head_preupdate defaults ON (r5, validated at the 1000-step
+    recipe); --no-gan_head_preupdate restores the reference's exact
+    D-then-G-vs-updated-Ds order and must reach Pix2PixConfig."""
     import jax
 
     import train
@@ -145,11 +147,19 @@ def test_train_gan_head_preupdate_flag(tmp_path):
         "--dataset_mode", "synthetic", "--name", "preup", "--model", "pix2pix",
         "--batch_size", "8", "--crop_size", "64", "--ndf", "8",
         "--n_epochs", "1", "--n_epochs_decay", "0", "--max_steps", "1",
-        "--gan_head_preupdate", "--checkpoints_dir", str(tmp_path),
+        "--checkpoints_dir", str(tmp_path),
         "--print_freq", "64", "--save_epoch_freq", "99", "--eval_freq", "99",
     ])
-    assert cfg.gan_head_preupdate
+    assert cfg.gan_head_preupdate  # the default
     assert int(jax.device_get(state.step)) > 0
+    _, cfg_ref = train.main([
+        "--dataset_mode", "synthetic", "--name", "preup_ref", "--model",
+        "pix2pix", "--batch_size", "8", "--crop_size", "64", "--ndf", "8",
+        "--n_epochs", "1", "--n_epochs_decay", "0", "--max_steps", "1",
+        "--no-gan_head_preupdate", "--checkpoints_dir", str(tmp_path),
+        "--print_freq", "64", "--save_epoch_freq", "99", "--eval_freq", "99",
+    ])
+    assert not cfg_ref.gan_head_preupdate
 
 
 def test_test_cli_gallery_includes_offset_flow(tmp_path):
@@ -328,6 +338,69 @@ def test_test_cli_load_iter_web_dir(tmp_path):
         "--load_iter", "7",
     ])
     assert (tmp_path / "res" / "itdir" / "test_latest_iter7" / "index.html").exists()
+
+
+def test_test_cli_aspect_ratio(tmp_path):
+    """--aspect_ratio resizes saved gallery images with the reference's
+    exact formula (util/util.py:51-66 via util/visualizer.py:37-44): on a
+    square crop, ar > 1 stretches height by ar. Was a silently-inert flag."""
+    import numpy as np
+    from PIL import Image
+
+    import test as test_cli
+
+    test_cli.main([
+        "--dataset_mode", "synthetic", "--name", "ar2", "--crop_size", "64",
+        "--ndf", "8", "--checkpoints_dir", str(tmp_path / "ck"),
+        "--results_dir", str(tmp_path / "res"), "--num_test", "1",
+        "--aspect_ratio", "2.0",
+    ])
+    png = tmp_path / "res" / "ar2" / "test_latest" / "images" / "0000_fake_B.png"
+    arr = np.asarray(Image.open(png))
+    assert arr.shape[:2] == (128, 64), arr.shape  # (h*ar, w) for ar>1
+
+
+def test_test_cli_defaults_bf16(tmp_path):
+    """Inference CLIs must default to bf16 convs (the r3 f32-convs-on-TPU
+    bug class): TestOptions' compute_dtype default is bfloat16 and test.py
+    threads it into Pix2PixConfig."""
+    import test as test_cli
+    from healthivert_tpu.config.options import TestOptions, TrainOptions
+
+    opt = TestOptions().parse(
+        ["--dataset_mode", "synthetic", "--checkpoints_dir", str(tmp_path)],
+        save=False)
+    assert opt.compute_dtype == "bfloat16"
+    # training keeps the reference's f32 default
+    t = TrainOptions().parse(
+        ["--dataset_mode", "synthetic", "--checkpoints_dir", str(tmp_path)],
+        save=False)
+    assert t.compute_dtype == "float32"
+    cfg = test_cli.main([
+        "--dataset_mode", "synthetic", "--name", "dt", "--crop_size", "64",
+        "--ndf", "8", "--checkpoints_dir", str(tmp_path / "ck"),
+        "--results_dir", str(tmp_path / "res"), "--num_test", "1",
+    ])
+    assert cfg.compute_dtype == "bfloat16"
+
+
+def test_display_id_warning(tmp_path, capsys):
+    """--display_id > 0 requested a visdom dashboard in the reference
+    (util/visualizer.py:83-113); ours prints a one-time replacement note
+    instead of silently dropping it."""
+    import argparse
+
+    from healthivert_tpu.engine.visualizer import Visualizer
+
+    opt = argparse.Namespace(checkpoints_dir=str(tmp_path), name="v",
+                             display_id=1, use_wandb=False)
+    Visualizer(opt)
+    out = capsys.readouterr().out
+    assert "visdom" in out and "replaced" in out
+    opt2 = argparse.Namespace(checkpoints_dir=str(tmp_path), name="v0",
+                              display_id=0, use_wandb=False)
+    Visualizer(opt2)
+    assert "visdom" not in capsys.readouterr().out
 
 
 def test_train_mesh_indivisible_batch(tmp_path):

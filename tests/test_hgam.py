@@ -47,6 +47,59 @@ def test_classifier_learns_and_cam_localizes(rng):
     assert float((top_left / total).mean()) > 0.35
 
 
+def test_slices_for_z_context(rng):
+    """2.5D extraction: channel d of sample z is slice z+d-k, clamped at the
+    volume edges; z_context=0 reproduces the old single-channel shape."""
+    import importlib.util as ilu
+    import os
+
+    spec = ilu.spec_from_file_location(
+        "gcam", os.path.join(os.path.dirname(__file__), "..",
+                             "Attention", "grad_CAM_3d_sagittal.py"))
+    gcam = ilu.module_from_spec(spec)
+    spec.loader.exec_module(gcam)
+
+    h = w = 16
+    nz = 10
+    ct = rng.integers(0, 255, (h, w, nz)).astype(np.float64)
+    labels = np.zeros((h, w, nz))
+    labels[:, :, 1:9] = 20  # 8 vert slices -> central 4/5 = 6 centers
+    sl0, idx = gcam._slices_for(ct, labels, 20, z_context=0)
+    assert sl0.shape == (len(idx), h, w, 1)
+    sl2, idx2 = gcam._slices_for(ct, labels, 20, z_context=2)
+    assert idx2 == idx and sl2.shape == (len(idx), h, w, 5)
+    ctf = ct.astype(np.float32) / 255.0 * 2 - 1
+    for i, z in enumerate(idx):
+        np.testing.assert_array_equal(sl2[i, :, :, 2], ctf[:, :, z])  # center
+        np.testing.assert_array_equal(
+            sl2[i, :, :, 0], ctf[:, :, max(z - 2, 0)])  # clamped low edge
+        np.testing.assert_array_equal(
+            sl2[i, :, :, 4], ctf[:, :, min(z + 2, nz - 1)])
+    np.testing.assert_array_equal(sl2[:, :, :, 2:3], sl0)
+
+
+def test_classifier_learns_25d(rng):
+    """The classifier accepts multi-channel 2.5D input and Grad-CAM++ still
+    emits a single-channel [0,1] heatmap of the input's spatial shape."""
+    model = FractureClassifier(width=8)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)))
+    opt_state = optax.scale_by_adam().init(params)
+    rng_np = np.random.default_rng(0)
+    for _ in range(30):
+        x = rng_np.standard_normal((16, 64, 64, 5)).astype(np.float32) * 0.1
+        y = rng_np.integers(0, 2, 16)
+        for i in range(16):
+            if y[i] == 1:
+                x[i, 8:24, 8:24, :] += 1.0  # persists across channels
+        params, opt_state, loss, acc = classifier_train_step(
+            model, params, opt_state, jnp.asarray(x), jnp.asarray(y),
+            jnp.float32(1e-3))
+    assert float(acc) > 0.85, float(acc)
+    cam = np.asarray(grad_cam_pp(model, params, jnp.asarray(x[:2])))
+    assert cam.shape == (2, 64, 64, 1)
+    assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
+
+
 def test_cam_finite_on_init_weights(rng):
     model = FractureClassifier(width=8)
     params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 1)))

@@ -6,6 +6,7 @@ matches its own dequantized-f32 mirror, the generator runs end-to-end at
 int8, training refuses the mode, and the test.py CLI surface accepts it.
 """
 
+import os
 import subprocess
 import sys
 
@@ -54,11 +55,34 @@ def test_int8_outputs_batch_invariant():
     rng = np.random.default_rng(2)
     a = rng.normal(0, 1, (1, 12, 12, 4)).astype(np.float32)
     b = rng.normal(0, 50, (1, 12, 12, 4)).astype(np.float32)  # huge-scale peer
-    conv = SNConv(features=6, kernel_size=3, padding=1, dtype="int8")
+    conv = SNConv(features=8, kernel_size=3, padding=1, dtype="int8")
     v = conv.init(jax.random.PRNGKey(0), jnp.asarray(a))
     solo = conv.apply(v, jnp.asarray(a))
     paired = conv.apply(v, jnp.asarray(np.concatenate([a, b])))[:1]
     np.testing.assert_array_equal(np.float32(solo), np.float32(paired))
+
+
+def test_int8_narrow_heads_run_bf16():
+    """Mixed-precision heads (r5): under dtype="int8" a conv with < 8
+    output channels (the 1-channel image/seg heads, reference
+    inpaint_networks.py:112-115,225-230) must run the bf16 path — bit-equal
+    to the bf16 conv, not merely close — while wide convs stay quantized."""
+    from healthivert_tpu.models.layers import SNConv
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1.3, (2, 16, 16, 9)).astype(np.float32))
+    head8 = SNConv(features=1, kernel_size=3, padding=1, dtype="int8")
+    v = head8.init(jax.random.PRNGKey(0), x)
+    y8 = head8.apply(v, x)
+    ybf = head8.copy(dtype=jnp.bfloat16).apply(v, x.astype(jnp.bfloat16))
+    assert y8.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.float32(y8), np.float32(ybf))
+    # a wide conv under the same dtype flag really quantizes
+    wide = SNConv(features=8, kernel_size=3, padding=1, dtype="int8")
+    vw = wide.init(jax.random.PRNGKey(0), x)
+    yq = wide.apply(vw, x)
+    yw = wide.copy(dtype=jnp.float32).apply(vw, x)
+    assert float(jnp.max(jnp.abs(yw - yq.astype(jnp.float32)))) > 1e-4
 
 
 def test_generator_convs_run_at_requested_dtype(monkeypatch):
@@ -227,6 +251,37 @@ def test_calibrate_int8_percentile():
 
     with _pytest.raises(ValueError):
         calib_to_quant({}, percentile=95.0)
+
+
+def test_quant_store_makes_int8_batch_independent(tmp_path):
+    """quant='auto' + quant_store: the first call persists its calibrated
+    scales; a later call with a DIFFERENT --slice_batch loads them and must
+    produce bit-identical outputs (without the store, auto scales depend on
+    what shares the first calibration chunk — ADVICE r4)."""
+    from healthivert_tpu.data.synthetic import make_spine_volume
+    from healthivert_tpu.engine.infer3d import synthesize_volumes
+    from healthivert_tpu.models.pix2pix import Pix2PixConfig, init_state
+
+    cfg = Pix2PixConfig(ngf=4, image_size=64, compute_dtype="int8")
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ct, labels, cam = make_spine_volume(
+        rng, shape=(64, 64, 16), vert_ids=(19, 20, 21), vert_height=12,
+        gap=5, fractured={20: 0.6},
+    )
+    store = str(tmp_path / "int8_quant.msgpack")
+    vols = [(ct, labels, 20, cam)]
+    (a_ct, a_lb), = synthesize_volumes(
+        state.g_params, state.g_sn, cfg, vols, batch_size=8, use_bf16=True,
+        quant="auto", quant_store=store,
+    )
+    assert os.path.exists(store)
+    (b_ct, b_lb), = synthesize_volumes(
+        state.g_params, state.g_sn, cfg, vols, batch_size=4, use_bf16=True,
+        quant="auto", quant_store=store,
+    )
+    np.testing.assert_array_equal(a_ct, b_ct)
+    np.testing.assert_array_equal(a_lb, b_lb)
 
 
 def test_synthesize_volume_auto_quant():

@@ -153,6 +153,10 @@ def _oracle_losses(tmp, gan_mode, net_d, n_layers_d):
     cfg = Pix2PixConfig(
         ngf=16, ndf=16, image_size=S, gan_mode=gan_mode,
         net_d=net_d, n_layers_d=n_layers_d,
+        # reference-exact semantics: the r5 throughput deviations change
+        # D3's patch-mean normalization (crop_d3) — the oracle pins the
+        # faithful path that --no-gan_head_preupdate --no-crop_d3 selects
+        gan_head_preupdate=False, crop_d3=False,
     )
     state = init_state(jax.random.PRNGKey(0), cfg, batch_size=B)
     g_params, g_sn, _ = load_generator_pth(g_pth, state.g_params, state.g_sn)

@@ -123,12 +123,15 @@ def test_vmap_discriminators_matches_sequential():
     """The opt-in stacked/vmapped D1-3 update variant (a measured TPU
     negative, kept for the record — Pix2PixConfig.vmap_discriminators) must
     produce the same step as the default sequential path."""
-    cfg_v = Pix2PixConfig(ngf=4, ndf=8, image_size=64, vmap_discriminators=True)
+    # crop_d3=False: the stacked variant needs shape-identical D inputs
+    cfg_s = Pix2PixConfig(ngf=4, ndf=8, image_size=64, crop_d3=False)
+    cfg_v = Pix2PixConfig(ngf=4, ndf=8, image_size=64, crop_d3=False,
+                          vmap_discriminators=True)
     batch = _batch()
     lr = jnp.float32(2e-4)
-    s_seq = init_state(jax.random.PRNGKey(0), CFG, batch_size=2)
+    s_seq = init_state(jax.random.PRNGKey(0), cfg_s, batch_size=2)
     s_vm = init_state(jax.random.PRNGKey(0), cfg_v, batch_size=2)
-    s_seq, l_seq = train_step(s_seq, dict(batch), lr, CFG)
+    s_seq, l_seq = train_step(s_seq, dict(batch), lr, cfg_s)
     s_vm, l_vm = train_step(s_vm, dict(batch), lr, cfg_v)
     for k in l_seq:
         np.testing.assert_allclose(
@@ -150,12 +153,14 @@ def test_gan_head_preupdate_lr0_exact():
     delta is zero, pre-update == post-update params, and BatchNorm train-mode
     normalization uses batch (not running) stats — so the two modes must be
     EXACTLY equal, pinning that the rewiring touches nothing else."""
+    cfg_ref = Pix2PixConfig(ngf=4, ndf=8, image_size=64,
+                            gan_head_preupdate=False)  # reference semantics
     cfg_p = Pix2PixConfig(ngf=4, ndf=8, image_size=64, gan_head_preupdate=True)
     batch = _batch()
     lr = jnp.float32(0.0)
-    s_base = init_state(jax.random.PRNGKey(0), CFG, batch_size=2)
+    s_base = init_state(jax.random.PRNGKey(0), cfg_ref, batch_size=2)
     s_pre = init_state(jax.random.PRNGKey(0), cfg_p, batch_size=2)
-    s_base, l_base = train_step(s_base, dict(batch), lr, CFG)
+    s_base, l_base = train_step(s_base, dict(batch), lr, cfg_ref)
     s_pre, l_pre = train_step(s_pre, dict(batch), lr, cfg_p)
     for k in l_base:
         np.testing.assert_array_equal(np.asarray(l_pre[k]), np.asarray(l_base[k]), err_msg=k)
@@ -237,10 +242,117 @@ def test_lr_schedule_policies():
     cos = LRSchedule(types.SimpleNamespace(lr_policy="cosine", **base))
     assert cos.scale(0) == 1.0 and cos.scale(10) == pytest.approx(0.0, abs=1e-9)
 
-    plat = LRSchedule(types.SimpleNamespace(lr_policy="plateau", **base))
+    plat = LRSchedule(types.SimpleNamespace(lr_policy="plateau", lr=2e-4, **base))
     for _ in range(8):
         s = plat.scale(1, metric=1.0)  # no improvement
     assert s == pytest.approx(0.2)
+
+
+def test_band_crop_preserves_d3_support():
+    """ops/geometry.band_crop must contain EVERY nonzero pixel of D3's input
+    (mask * img * center-columns) for band masks anywhere in the frame —
+    including clamped at the top and bottom edges."""
+    from healthivert_tpu.ops import geometry as geo
+
+    rng = np.random.default_rng(0)
+    s = 256
+    center = np.asarray(geo.local_crop_mask(s, s))[..., None]
+    for min_x in [0, 1, 2, 20, 100, 180, s - 41, s - 40]:
+        img = rng.normal(size=(s, s, 1)).astype(np.float32)
+        mask = np.zeros((s, s, 1), np.float32)
+        mask[min_x: min_x + 41] = 1.0  # inclusive-end band: 41 rows
+        local = mask * img * center
+        crop = np.asarray(geo.band_crop(jnp.asarray(local), jnp.asarray(mask)))
+        assert crop.shape == (48, 128, 1)
+        np.testing.assert_allclose(np.abs(crop).sum(), np.abs(local).sum(),
+                                   rtol=1e-6)
+
+    # batched variant agrees with per-sample
+    imgs = rng.normal(size=(3, s, s, 1)).astype(np.float32)
+    masks = np.zeros((3, s, s, 1), np.float32)
+    for i, mx in enumerate([0, 77, 215]):
+        masks[i, mx: mx + 41] = 1.0
+    out = np.asarray(geo.band_crop_batch(
+        jnp.asarray(imgs * masks * center), jnp.asarray(masks), 48, 128))
+    for i in range(3):
+        one = np.asarray(geo.band_crop(
+            jnp.asarray(imgs[i] * masks[i] * center), jnp.asarray(masks[i])))
+        np.testing.assert_array_equal(out[i], one)
+
+
+def test_crop_d3_train_step():
+    """crop_d3 (the r5 default): the step runs, losses are finite, all four
+    nets update, and the non-D3 loss terms match the full-frame path exactly
+    (the crop only touches D3's input; G's forward and the D1/D2 chains are
+    untouched — D1/D2 losses and every non-GAN G term must be
+    bit-identical)."""
+    cfg = Pix2PixConfig(ngf=4, ndf=8, image_size=64, crop_d3=True)
+    cfg_full = Pix2PixConfig(ngf=4, ndf=8, image_size=64, crop_d3=False)
+    batch = _batch()
+    state = init_state(jax.random.PRNGKey(0), cfg, batch_size=2)
+    state_ref = init_state(jax.random.PRNGKey(0), cfg_full, batch_size=2)
+    s1, losses = train_step(state, batch, jnp.float32(2e-4), cfg)
+    _, losses_ref = train_step(state_ref, batch, jnp.float32(2e-4), cfg_full)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert int(s1.step) == 1
+    for k in ["D_fake_1", "D_real_1", "D_fake_2", "D_real_2", "G_maskL1",
+              "G_Dice", "coarse_Dice", "edge", "h"]:
+        assert float(losses[k]) == float(losses_ref[k]), k
+    # D3 sees undiluted content: its loss must differ from the padded path
+    assert float(losses["D_fake_3"]) != float(losses_ref["D_fake_3"])
+
+
+def test_crop_d3_rejects_vmap_discriminators():
+    cfg = Pix2PixConfig(ngf=4, ndf=8, image_size=64, crop_d3=True,
+                        vmap_discriminators=True)
+    state = init_state(jax.random.PRNGKey(0), cfg, batch_size=2)
+    with pytest.raises(ValueError, match="incompatible"):
+        train_step(state, _batch(), jnp.float32(2e-4), cfg)
+
+
+def test_plateau_matches_torch():
+    """Golden oracle: our plateau schedule reproduces torch's
+    ReduceLROnPlateau(mode=min, factor=0.2, threshold=0.01, patience=5)
+    (get_scheduler, /root/reference/models/networks.py:57-58) lr-for-lr on
+    sequences exercising rel-threshold improvements, long plateaus with
+    multiple reductions down to the eps=1e-8 floor, and recoveries."""
+    import types
+
+    import torch
+
+    from healthivert_tpu.models.pix2pix import LRSchedule
+
+    rng = np.random.default_rng(42)
+    sequences = [
+        # monotone plateau: repeated reductions until the eps floor
+        [1.0] * 60,
+        # sub-threshold "improvements" (rel mode: 0.5% better is NOT better)
+        list(1.0 * 0.995 ** np.arange(30)),
+        # real improvements interleaved with plateaus
+        [5.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 3.0] + [3.0] * 10 + [1.0, 0.9],
+        # random walks
+        list(rng.uniform(0.5, 2.0, size=50)),
+        list(np.abs(np.cumsum(rng.normal(0, 0.1, size=50))) + 0.1),
+        # negative metrics (rel threshold flips meaning when best < 0)
+        list(-np.abs(rng.uniform(0.5, 2.0, size=40))),
+    ]
+    base_lr = 2e-4
+    for seq in sequences:
+        opt = types.SimpleNamespace(lr_policy="plateau", lr=base_lr,
+                                    epoch_count=1, n_epochs=10,
+                                    n_epochs_decay=10, lr_decay_iters=5)
+        sched = LRSchedule(opt)
+        p = torch.nn.Parameter(torch.zeros(1))
+        topt = torch.optim.Adam([p], lr=base_lr)
+        tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            topt, mode="min", factor=0.2, threshold=0.01, patience=5)
+        for e, m in enumerate(seq):
+            ours = sched.scale(e, metric=float(m)) * base_lr
+            tsched.step(float(m))
+            theirs = topt.param_groups[0]["lr"]
+            assert ours == pytest.approx(theirs, rel=1e-12), (
+                f"epoch {e}, metric {m}: ours {ours} vs torch {theirs}")
 
 
 def test_train_step_bfloat16():
