@@ -175,7 +175,10 @@ def main():
                 return f["fake_b"], f["fine_seg_bin"], f["pred2_h"]
 
             jit8 = jax.jit(infer_step8)
-            from healthivert_tpu.models.pix2pix import calibrate_int8
+            from healthivert_tpu.models.pix2pix import (
+                INT8_CALIB_PERCENTILE,
+                calibrate_int8,
+            )
             import dataclasses as _dc
 
             # int8's sweet spot sits ABOVE bf16's (halved conv HBM traffic
@@ -186,7 +189,8 @@ def main():
                 batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
                 quant = calibrate_int8(
                     gen8, state.g_params, state.g_sn, [batch],
-                    _dc.replace(cfg, compute_dtype="int8"), percentile=99.9,
+                    _dc.replace(cfg, compute_dtype="int8"),
+                    percentile=INT8_CALIB_PERCENTILE,
                 )
                 out = jit8(state.g_params, state.g_sn, batch, quant)  # compile
                 float(jnp.sum(out[2].astype(jnp.float32)))

@@ -77,7 +77,8 @@ def _base_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--int8_calib", type=str, default="auto",
                         choices=["auto", "dynamic"],
                         help="int8 activation scales: 'auto' calibrates "
-                             "static per-tensor 99.9th-percentile scales "
+                             "static per-tensor percentile scales (default "
+                             "99.5th; see pix2pix.INT8_CALIB_PERCENTILE) "
                              "from the first batch (the mode that beats "
                              "bf16) — eval_3d persists them to "
                              "{checkpoints_dir}/{name}/int8_quant.msgpack "

@@ -422,7 +422,10 @@ def synthesize_volumes(
                 job_rows.append(prep["stack_row"][z])
         if quant == "auto" and g_quant is None and jobs:
             # one calibration dispatch on this call's first real batch
-            from healthivert_tpu.models.pix2pix import calib_to_quant
+            from healthivert_tpu.models.pix2pix import (
+                INT8_CALIB_PERCENTILE,
+                calib_to_quant,
+            )
 
             _, ct, rat, zidx, ints = _chunk_arrays(
                 jobs, job_ratio, job_rows, 0, min(batch_size, len(jobs)),
@@ -434,12 +437,12 @@ def synthesize_volumes(
                 ints["x1"], ints["x2"], ints["min_x"], ints["max_x"],
                 jnp.asarray(rat), cfg, use_bf16, use_pallas,
             )
-            # 99.9th-percentile scales: clips outlier activation mass so the
-            # 8-bit grid covers the bulk — measured strictly better than
-            # absmax-static and >= dynamic on quality at identical speed
-            # (experiments/int8_static_quality.py r4: PSNR 26.86 -> 27.37,
-            # SSIM 0.9190 -> 0.9213 on the shipped checkpoint)
-            g_quant = calib_to_quant(jax.device_get(calib), percentile=99.9)
+            # percentile scales clip outlier activation mass so the 8-bit
+            # grid covers the bulk — measured better than absmax-static and
+            # >= dynamic on quality at identical speed; the default's sweep
+            # lives at pix2pix.INT8_CALIB_PERCENTILE
+            g_quant = calib_to_quant(jax.device_get(calib),
+                                     percentile=INT8_CALIB_PERCENTILE)
             if quant_store:
                 from flax import serialization
 

@@ -282,6 +282,15 @@ def generator_forward(
     )
 
 
+# Default calibration percentile for "auto" static-int8 scales. r5 sweep on
+# the shipped checkpoint with bf16 output heads (experiments/
+# int8_static_quality.py, calib held out from eval): p99.5 SSIM 0.9301 /
+# PSNR 27.84 / IoU 0.9698 vs p99.9 0.9283 / 27.55 / 0.9730 vs bf16
+# 0.9317 / 27.61 / 0.9767 — 99.5 is the balanced point (beats bf16 PSNR,
+# SSIM within 0.002, IoU within 0.007); absmax (None) trails on all three.
+INT8_CALIB_PERCENTILE = 99.5
+
+
 def calib_to_quant(calib_tree, percentile=None):
     """Map a mutable-["calib"] output tree (per-conv activation stats sown
     by SNConv) to the "quant" variable tree SNConv reads: act_absmax (or

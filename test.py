@@ -76,10 +76,13 @@ def main(argv=None):
             # static per-tensor activation scales from the first batch: the
             # int8 mode that actually beats bf16 (experiments/int8_bench.py
             # r4; dynamic per-sample scales cost ~3 extra HBM sweeps/conv)
-            from healthivert_tpu.models.pix2pix import calibrate_int8
+            from healthivert_tpu.models.pix2pix import (
+                INT8_CALIB_PERCENTILE,
+                calibrate_int8,
+            )
 
             g_quant = calibrate_int8(gen, state.g_params, state.g_sn, [jb], cfg,
-                                     percentile=99.9)
+                                     percentile=INT8_CALIB_PERCENTILE)
         f = generator_forward(gen, state.g_params, state.g_sn, jb, cfg,
                               update_sn=False, g_quant=g_quant)
         visuals = {

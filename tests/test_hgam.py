@@ -64,9 +64,9 @@ def test_slices_for_z_context(rng):
     ct = rng.integers(0, 255, (h, w, nz)).astype(np.float64)
     labels = np.zeros((h, w, nz))
     labels[:, :, 1:9] = 20  # 8 vert slices -> central 4/5 = 6 centers
-    sl0, idx = gcam._slices_for(ct, labels, 20, z_context=0)
-    assert sl0.shape == (len(idx), h, w, 1)
-    sl2, idx2 = gcam._slices_for(ct, labels, 20, z_context=2)
+    sl0, idx, r0 = gcam._slices_for(ct, labels, 20, z_context=0)
+    assert sl0.shape == (len(idx), h, w, 1) and r0 == 0
+    sl2, idx2, _ = gcam._slices_for(ct, labels, 20, z_context=2)
     assert idx2 == idx and sl2.shape == (len(idx), h, w, 5)
     ctf = ct.astype(np.float32) / 255.0 * 2 - 1
     for i, z in enumerate(idx):
@@ -76,6 +76,38 @@ def test_slices_for_z_context(rng):
         np.testing.assert_array_equal(
             sl2[i, :, :, 4], ctf[:, :, min(z + 2, nz - 1)])
     np.testing.assert_array_equal(sl2[:, :, :, 2:3], sl0)
+
+
+def test_slices_for_band(rng):
+    """band=B crops B rows centered on the TARGET vertebra's row extent
+    (clamped at the edges), localizing the per-vertebra label — a full
+    straightened slice shows every vertebra of the case, so unbanded inputs
+    carry conflicting labels across the case's vertebrae."""
+    import importlib.util as ilu
+    import os
+
+    spec = ilu.spec_from_file_location(
+        "gcam", os.path.join(os.path.dirname(__file__), "..",
+                             "Attention", "grad_CAM_3d_sagittal.py"))
+    gcam = ilu.module_from_spec(spec)
+    spec.loader.exec_module(gcam)
+
+    h, w, nz = 32, 16, 10
+    ct = rng.integers(0, 255, (h, w, nz)).astype(np.float64)
+    labels = np.zeros((h, w, nz))
+    labels[4:10, :, 1:9] = 20   # target near the TOP edge (clamp case)
+    labels[20:26, :, 1:9] = 21  # a second vertebra below
+    sl, idx, r0 = gcam._slices_for(ct, labels, 20, z_context=0, band=8)
+    assert sl.shape == (len(idx), 8, w, 1)
+    assert r0 == 2  # centroid row int(6.5)=6 - band//2=4, clamped >= 0
+    full, _, _ = gcam._slices_for(ct, labels, 20, z_context=0)
+    np.testing.assert_array_equal(sl, full[:, r0:r0 + 8])
+    # the second vertebra's band differs -> inputs are now label-consistent
+    _, _, r1 = gcam._slices_for(ct, labels, 21, z_context=0, band=8)
+    assert r1 != r0
+    # band larger than the volume degrades to full height
+    slf, _, r0f = gcam._slices_for(ct, labels, 20, z_context=0, band=99)
+    assert slf.shape[1] == h and r0f == 0
 
 
 def test_classifier_learns_25d(rng):
