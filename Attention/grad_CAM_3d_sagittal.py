@@ -131,25 +131,46 @@ def main(argv=None):
 
     def load_pv(pv):
         # tiny host cache: cohorts address the same volume through many
-        # per-vertebra filenames (hard links) — decompress each file once
+        # per-vertebra filenames (hard links) — decompress each file pair
+        # exactly once, keeping (f32 CT, i16 labels, affine) so 64 entries
+        # stay well under a GB (f64 pairs were ~4x that)
         if pv not in _vol_cache:
-            ct = nifti.load(os.path.join(args.dataroot, "CT", pv + ".nii.gz")).get_fdata()
-            lb = nifti.load(os.path.join(args.dataroot, "label", pv + ".nii.gz")).get_fdata()
+            img = nifti.load(os.path.join(args.dataroot, "CT", pv + ".nii.gz"))
+            lb = nifti.load(
+                os.path.join(args.dataroot, "label", pv + ".nii.gz")
+            ).get_fdata()
             if len(_vol_cache) >= 64:
                 _vol_cache.pop(next(iter(_vol_cache)))
-            _vol_cache[pv] = (ct, lb)
+            _vol_cache[pv] = (img.get_fdata().astype(np.float32),
+                              lb.astype(np.int16), img.affine)
         return _vol_cache[pv]
+
+    @jax.jit
+    def slice_preds(params, x):
+        # per-slice class argmax, one jitted dispatch per vertebra (an eager
+        # apply costs ~15 tunnel round-trips at ~0.5-1 s each)
+        return jnp.argmax(model.apply(params, x), -1)
+
+    def pad8(sl):
+        # bucket the slice count so vertebrae of different z-extents share
+        # compilations of slice_preds / grad_cam_pp
+        n = sl.shape[0]
+        m = -(-n // 8) * 8
+        if m != n:
+            sl = np.concatenate([sl, np.repeat(sl[-1:], m - n, axis=0)])
+        return sl, n
 
     def vert_vote(params, pv):
         """Per-vertebra majority vote (the same aggregation `generate`
         writes into the heatmap suffix)."""
-        ct, lb = load_pv(pv)
+        ct, lb, _ = load_pv(pv)
         sl, _, _ = _slices_for(ct, lb, int(pv.rsplit("_", 1)[1]),
                                z_context=args.z_context, band=args.band)
         if sl is None:
             return None
-        logits = model.apply(params, jnp.asarray(sl))
-        return int(jnp.mean(jnp.argmax(logits, -1) + 0.0) > 0.5)
+        slp, n = pad8(sl)
+        preds = np.asarray(slice_preds(params, jnp.asarray(slp)))[:n]
+        return int(preds.mean() > 0.5)
 
     if args.mode == "train":
         items = [
@@ -176,7 +197,7 @@ def main(argv=None):
                 if pos and neg:
                     pool = pos if rng.random() < 0.5 else neg
                 pv, y = pool[rng.integers(len(pool))]
-                ct, lb = load_pv(pv)
+                ct, lb, _ = load_pv(pv)
                 sl, _, _ = _slices_for(ct, lb, int(pv.rsplit("_", 1)[1]),
                                        z_context=args.z_context, band=args.band)
                 if sl is None:
@@ -227,21 +248,21 @@ def main(argv=None):
         if os.path.exists(os.path.join(args.dataroot, "CT", pv + ".nii.gz"))
     ]
     for pv in sorted(set(pvs)):
-        ct_img = nifti.load(os.path.join(args.dataroot, "CT", pv + ".nii.gz"))
-        ct, lb = ct_img.get_fdata(), load_pv(pv)[1]
+        ct, lb, affine = load_pv(pv)
         sl, idx, r0 = _slices_for(ct, lb, int(pv.rsplit("_", 1)[1]),
                                   z_context=args.z_context, band=args.band)
         if sl is None:
             continue
-        x = jnp.asarray(sl)
-        logits = model.apply(params, x)
-        cls = int(jnp.mean(jnp.argmax(logits, -1) + 0.0) > 0.5)
-        cams = np.asarray(grad_cam_pp(model, params, x, target_class=1))
+        slp, n = pad8(sl)
+        x = jnp.asarray(slp)
+        preds = np.asarray(slice_preds(params, x))[:n]
+        cls = int(preds.mean() > 0.5)
+        cams = np.asarray(grad_cam_pp(model, params, x, target_class=1))[:n]
         vol = np.zeros_like(ct, np.float32)
         for k, z in enumerate(idx):
             vol[r0:r0 + cams.shape[1], :, z] = cams[k, :, :, 0]
         nifti.save(
-            nifti.Nifti1Image(vol, ct_img.affine),
+            nifti.Nifti1Image(vol, affine),
             os.path.join(args.out, f"{pv}_{cls}.nii.gz"),
         )
         print(f"{pv}: class {cls}, {len(idx)} slices")

@@ -1,0 +1,311 @@
+#!/usr/bin/env python
+"""Timing ablation of the v2 pallas attention forward (inference variant).
+
+The kernel is ~23% of the int8 forward (experiments/int8_segments.py) and
+its segment costs have only been reasoned about, never measured. This clones
+the production kernel body with static switches that DROP one segment at a
+time (numerics are garbage for the dropped variants — only wall time
+matters) plus two candidate optimizations:
+
+  full         production kernel (baseline; must match ops/ timing)
+  no_score     score matmuls replaced by a constant   -> score matmul cost
+  no_fuse      fuse1+fuse2 sweeps skipped             -> fuse sweep cost
+  no_softmax   exp/normalize passes skipped           -> softmax pass cost
+  no_paste     paste matmuls skipped                  -> paste cost
+  paste_bf16   CANDIDATE: probs written to a bf16 scratch; paste matmuls
+               consume bf16 operands (native MXU pass instead of f32)
+  fold_norm    CANDIDATE: 1/sum folded into the paste as a sublane (L,1)
+               column-sum (via a ones-vector matmul) — removes the third
+               softmax sweep entirely
+
+Run on the chip:  python -u experiments/attn_ablate.py [batch]
+"""
+
+import functools
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+
+from healthivert_tpu.ops.attention_pallas import (  # noqa: E402
+    _col_perm_minus,
+    _col_perm_plus,
+    _col_shift,
+    _pack2,
+    _shift2d,
+    _unpack_hi,
+)
+
+MODES = ("full", "no_score", "no_fuse", "no_softmax", "no_paste",
+         "paste_bf16", "fold_norm")
+
+
+def _kernel(hd, wd, scale, r_tile, mode, c_real,
+            fd_hbm, bd_hbm, bph_hbm, mm_ref, out_hbm,
+            fd_s, bd_s, bph_s, s_ref, b_ref, p16_s, acc_s, sems):
+    interpret = False
+    b = pl.program_id(0)
+    num_l = hd * wd
+    nt = num_l // r_tile
+
+    cp_f = pltpu.make_async_copy(fd_hbm.at[b], fd_s, sems.at[0])
+    cp_b = pltpu.make_async_copy(bd_hbm.at[b], bd_s, sems.at[1])
+    cp_p = pltpu.make_async_copy(bph_hbm.at[b], bph_s, sems.at[2])
+    cp_f.start(); cp_b.start(); cp_p.start()
+    cp_f.wait(); cp_b.wait()
+
+    fdv = fd_s[:]
+    bdv = bd_s[:]
+    c = fdv.shape[-1]
+    packed = 2 * c_real <= c
+
+    if mode == "no_score":
+        s_ref[:] = jnp.full((num_l, num_l), 0.5, jnp.float32)
+    else:
+        s_acc = jnp.zeros((num_l, num_l), jnp.float32)
+        nrm2 = jnp.zeros((hd, wd, 1), jnp.float32)
+        bd2 = jnp.sum(bdv.astype(jnp.float32) * bdv.astype(jnp.float32),
+                      axis=-1, keepdims=True)
+        offs = [(dy - 1, dx - 1) for dy in range(3) for dx in range(3)]
+        for o in offs:
+            nrm2 = nrm2 + _shift2d(bd2, o[0], o[1])
+        groups = (
+            [offs[i: i + 2] for i in range(0, 8, 2)] + [offs[8:]]
+            if packed else [[o] for o in offs]
+        )
+        for g in groups:
+            if len(g) == 2:
+                f_o = _pack2(fdv, g[0], g[1], num_l, c, c_real, interpret)
+                b_o = _pack2(bdv, g[0], g[1], num_l, c, c_real, interpret)
+            else:
+                f_o = _shift2d(fdv, g[0][0], g[0][1]).reshape(num_l, c)
+                b_o = _shift2d(bdv, g[0][0], g[0][1]).reshape(num_l, c)
+            s_acc = s_acc + jax.lax.dot_general(
+                b_o, f_o, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        nrm = jnp.maximum(jnp.sqrt(nrm2.reshape(num_l, 1)), 1e-4)
+        s_ref[:] = s_acc / nrm
+
+    g_rows = mm_ref[0]
+    if mode == "no_fuse":
+        m = jnp.full((1, num_l), -jnp.inf, jnp.float32)
+        for t in range(nt):
+            r0 = t * r_tile
+            logits = s_ref[r0: r0 + r_tile, :] * g_rows[r0: r0 + r_tile] * scale
+            m = jnp.maximum(m, jnp.max(logits, axis=0, keepdims=True))
+    else:
+        for t in range(nt):
+            r0 = t * r_tile
+            cur = s_ref[r0: r0 + r_tile, :]
+            up = (
+                jax.lax.concatenate(
+                    [jnp.zeros_like(cur[:1]), s_ref[0: r_tile - 1, :]], 0)
+                if t == 0 else s_ref[r0 - 1: r0 + r_tile - 1, :]
+            )
+            dn = (
+                jax.lax.concatenate(
+                    [s_ref[r0 + 1: num_l, :], jnp.zeros_like(cur[:1])], 0)
+                if t == nt - 1 else s_ref[r0 + 1: r0 + r_tile + 1, :]
+            )
+            b_ref[r0: r0 + r_tile, :] = (
+                cur + _col_shift(up, -1, interpret) + _col_shift(dn, +1, interpret)
+            )
+        m = jnp.full((1, num_l), -jnp.inf, jnp.float32)
+        for t in range(nt):
+            r0 = t * r_tile
+            cur = b_ref[r0: r0 + r_tile, :]
+            if r0 + r_tile + wd <= num_l:
+                plus = b_ref[r0 + wd: r0 + wd + r_tile, :]
+            else:
+                parts = []
+                if num_l - wd - r0 > 0:
+                    parts.append(b_ref[r0 + wd: num_l, :])
+                parts.append(b_ref[1:wd, :])
+                parts.append(jnp.zeros_like(cur[:1]))
+                plus = jax.lax.concatenate(parts, 0)
+            if r0 >= wd:
+                minus = b_ref[r0 - wd: r0 - wd + r_tile, :]
+            else:
+                parts = [jnp.zeros_like(cur[:1])]
+                parts.append(b_ref[num_l - wd: num_l - 1, :])
+                parts.append(b_ref[0: r_tile - wd, :])
+                minus = jax.lax.concatenate(parts, 0)
+            fused = (
+                cur
+                + _col_perm_plus(plus, wd, interpret)
+                + _col_perm_minus(minus, wd, interpret)
+            )
+            s_ref[r0: r0 + r_tile, :] = fused
+            logits = fused * g_rows[r0: r0 + r_tile] * scale
+            m = jnp.maximum(m, jnp.max(logits, axis=0, keepdims=True))
+
+    inv_col = None
+    if mode == "no_softmax":
+        pass
+    elif mode == "fold_norm":
+        # exp + gate in ONE pass; column sums accumulated as a SUBLANE (L, 1)
+        # vector via a ones-vector matmul so 1/sum can scale the paste
+        # output rows — the separate normalize sweep disappears
+        ssum_col = jnp.zeros((num_l, 1), jnp.float32)
+        ones_r = jnp.ones((r_tile, 1), jnp.float32)
+        for t in range(nt):
+            r0 = t * r_tile
+            logits = s_ref[r0: r0 + r_tile, :] * g_rows[r0: r0 + r_tile] * scale
+            e = jnp.exp(logits - m)
+            ssum_col = ssum_col + jax.lax.dot_general(
+                e, ones_r, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s_ref[r0: r0 + r_tile, :] = e * g_rows[r0: r0 + r_tile]
+        inv_col = 1.0 / ssum_col
+    else:
+        ssum = jnp.zeros((1, num_l), jnp.float32)
+        for t in range(nt):
+            r0 = t * r_tile
+            logits = s_ref[r0: r0 + r_tile, :] * g_rows[r0: r0 + r_tile] * scale
+            e = jnp.exp(logits - m)
+            ssum = ssum + jnp.sum(e, axis=0, keepdims=True)
+            s_ref[r0: r0 + r_tile, :] = e
+        inv = 1.0 / ssum
+        for t in range(nt):
+            r0 = t * r_tile
+            v = s_ref[r0: r0 + r_tile, :] * inv * g_rows[r0: r0 + r_tile]
+            if mode == "paste_bf16":
+                p16_s[r0: r0 + r_tile, :] = v.astype(jnp.bfloat16)
+            else:
+                s_ref[r0: r0 + r_tile, :] = v
+
+    cp_p.wait()
+    probs_ref = p16_s if mode == "paste_bf16" else s_ref
+    for r in range(2):
+        a_vals = [0, 1] if r == 0 else [-1, 0]
+        for s_ in range(2):
+            bb_vals = [0, 1] if s_ == 0 else [-1, 0]
+            acc = jnp.zeros((hd, wd, c), jnp.float32)
+            if mode != "no_paste":
+                for a in a_vals:
+                    if packed:
+                        pair = _pack2(
+                            bph_s[r, s_], (a, bb_vals[0]), (a, bb_vals[1]),
+                            num_l, c, c_real, interpret,
+                        )
+                        if mode == "paste_bf16":
+                            pair = pair.astype(jnp.bfloat16)
+                        out_o = jax.lax.dot_general(
+                            probs_ref[:], pair,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        if inv_col is not None:
+                            out_o = out_o * inv_col
+                        acc = acc + _shift2d(out_o.reshape(hd, wd, c),
+                                             -a, -bb_vals[0])
+                        acc = acc + _shift2d(
+                            _unpack_hi(out_o, c, c_real, interpret)
+                            .reshape(hd, wd, c), -a, -bb_vals[1])
+                    else:
+                        for bb in bb_vals:
+                            raw_o = _shift2d(bph_s[r, s_], a, bb).reshape(num_l, c)
+                            out_o = jax.lax.dot_general(
+                                probs_ref[:], raw_o,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            if inv_col is not None:
+                                out_o = out_o * inv_col
+                            acc = acc + _shift2d(out_o.reshape(hd, wd, c), -a, -bb)
+            acc_s[:] = (acc / 4.0).astype(acc_s.dtype)
+            cp_o = pltpu.make_async_copy(acc_s, out_hbm.at[b, r, s_], sems.at[3])
+            cp_o.start()
+            cp_o.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("hd", "wd", "scale", "mode"))
+def run(fd, bd, b_full, mm, hd, wd, scale=10.0, mode="full"):
+    bs, _, _, c_in = fd.shape
+    num_l = hd * wd
+    r_tile = 128 if num_l % 128 == 0 else num_l
+    c_pad = (-c_in) % 128
+    if c_pad:
+        fd = jnp.pad(fd, ((0, 0), (0, 0), (0, 0), (0, c_pad)))
+        bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (0, c_pad)))
+        b_full = jnp.pad(b_full, ((0, 0), (0, 0), (0, 0), (0, c_pad)))
+    c = c_in + c_pad
+    bph = b_full.reshape(bs, hd, 2, wd, 2, c).transpose(0, 2, 4, 1, 3, 5)
+    kernel = functools.partial(_kernel, hd, wd, scale, r_tile, mode, c_in)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bs,),
+        in_specs=[
+            any_spec, any_spec, any_spec,
+            pl.BlockSpec((1, num_l, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[any_spec],
+        out_shape=[jax.ShapeDtypeStruct((bs, 2, 2, hd, wd, c), fd.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((hd, wd, c), fd.dtype),
+            pltpu.VMEM((hd, wd, c), bd.dtype),
+            pltpu.VMEM((2, 2, hd, wd, c), b_full.dtype),
+            pltpu.VMEM((num_l, num_l), jnp.float32),
+            pltpu.VMEM((num_l, num_l), jnp.float32),
+            pltpu.VMEM((num_l, num_l), jnp.bfloat16),
+            pltpu.VMEM((hd, wd, c), fd.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(fd, bd, bph, mm[..., None].astype(jnp.float32))[0]
+    y = out.transpose(0, 3, 1, 4, 2, 5).reshape(bs, 2 * hd, 2 * wd, c)
+    return y[..., :c_in]
+
+
+def main():
+    bs = int(_sys.argv[1]) if len(_sys.argv) > 1 else 256
+    hd = wd = 32
+    c = 64
+    rng = np.random.default_rng(0)
+    fd = jnp.asarray(rng.standard_normal((bs, hd, wd, c)), jnp.bfloat16)
+    bd = jnp.asarray(rng.standard_normal((bs, hd, wd, c)), jnp.bfloat16)
+    bf = jnp.asarray(rng.standard_normal((bs, 2 * hd, 2 * wd, c)), jnp.bfloat16)
+    mm = jnp.asarray(rng.random((bs, hd * wd)) > 0.3, jnp.float32)
+
+    base = None
+    for mode in MODES:
+        y = run(fd, bd, bf, mm, hd, wd, mode=mode)
+        float(jnp.sum(y.astype(jnp.float32)))  # barrier
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                y = run(fd, bd, bf, mm, hd, wd, mode=mode)
+            float(jnp.sum(y.astype(jnp.float32)))
+            best = min(best, (time.perf_counter() - t0) / 10)
+        ms = best * 1e3
+        if mode == "full":
+            base = ms
+        delta = f"  (saves {base - ms:5.2f} ms)" if base and mode != "full" else ""
+        print(f"{mode:12s} {ms:7.2f} ms{delta}", flush=True)
+
+    # numeric sanity for the two CANDIDATE modes (they must match full)
+    y0 = np.asarray(run(fd, bd, bf, mm, hd, wd, mode="full"), np.float32)
+    for mode in ("paste_bf16", "fold_norm"):
+        y1 = np.asarray(run(fd, bd, bf, mm, hd, wd, mode=mode), np.float32)
+        err = np.max(np.abs(y0 - y1)) / max(np.max(np.abs(y0)), 1e-6)
+        print(f"{mode}: rel max err vs full = {err:.4g}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,16 +60,18 @@ def main():
         mk = lambda **kw: Pix2PixConfig(
             ngf=args.ngf, image_size=args.image_size, compute_dtype="bfloat16",
             pallas_attention=on_tpu, **kw)
-        t_base = wall_ms(mk(), bs)  # preupdate is the default now
+        # both deviations default ON since bc63fcd — baselines must turn
+        # them OFF explicitly or every row measures the same compiled step
+        t_base = wall_ms(mk(crop_d3=False), bs)
         t_crop = wall_ms(mk(crop_d3=True), bs)
-        t_ref = wall_ms(mk(gan_head_preupdate=False), bs)
+        t_ref = wall_ms(mk(gan_head_preupdate=False, crop_d3=False), bs)
         t_both_ref = wall_ms(mk(gan_head_preupdate=False, crop_d3=True), bs)
         print(
             f"== batch {bs} (ms/step, sl/s):\n"
-            f"   preupdate (default)        {t_base:7.1f}  {bs / t_base * 1e3:7.1f}\n"
-            f"   preupdate + crop_d3        {t_crop:7.1f}  {bs / t_crop * 1e3:7.1f}"
-            f"  -> {t_base / t_crop:.3f}x vs default\n"
-            f"   reference order            {t_ref:7.1f}  {bs / t_ref * 1e3:7.1f}\n"
+            f"   preupdate only             {t_base:7.1f}  {bs / t_base * 1e3:7.1f}\n"
+            f"   preupdate + crop_d3 (dflt) {t_crop:7.1f}  {bs / t_crop * 1e3:7.1f}"
+            f"  -> {t_base / t_crop:.3f}x from crop_d3\n"
+            f"   reference semantics        {t_ref:7.1f}  {bs / t_ref * 1e3:7.1f}\n"
             f"   reference order + crop_d3  {t_both_ref:7.1f}  {bs / t_both_ref * 1e3:7.1f}"
             f"  -> {t_ref / t_both_ref:.3f}x vs reference order",
             flush=True,

@@ -59,11 +59,18 @@ def main():
 
         return gen, jax.jit(infer_step)
 
+    import os as _os
     batches = [int(a) for a in _sys.argv[1:]] or [256, 384]
+    # e.g. INT8_BENCH_DTYPES=int8-static for a high-batch sweet-spot sweep
+    # without paying bf16/dynamic compiles at every shape
+    dtypes = tuple(
+        _os.environ.get("INT8_BENCH_DTYPES", "bf16,int8-dynamic,int8-static")
+        .split(",")
+    )
     for bs in batches:
         ds = SyntheticDataset(batch_size=bs, seed=0, n_volumes=2)
         batch = {k: jnp.asarray(v) for k, v in ds.sample_batch().items()}
-        for dtype in ("bf16", "int8-dynamic", "int8-static"):
+        for dtype in dtypes:
             gen, step = make_step(dtype)
             quant = None
             if dtype == "int8-static":

@@ -61,35 +61,23 @@ def main():
         if variant.startswith("int8-static"):
             import jax.numpy as jnp
 
-            from healthivert_tpu.models.pix2pix import calib_to_quant, merge_calib
+            from healthivert_tpu.models.pix2pix import (
+                calib_to_quant, calibrate_int8,
+            )
 
             gen, _ = build_modules(cfg)
             if calib_cache is None:
                 # calibrate on DIFFERENT data (seed 3) than the eval set —
-                # the honest deployment setting; one calibration pass serves
-                # the whole percentile sweep (act_pq sows the full grid)
+                # the honest deployment setting; one calibration pass (the
+                # SHARED shipping helper, return_calib=True) serves the whole
+                # percentile sweep (act_pq sows the full grid)
                 copt = types.SimpleNamespace(batch_size=4, seed=3, crop_size=256)
                 cds = SyntheticDataset(copt, size=8, batch_size=4, seed=3)
-
-                @jax.jit
-                def one(g_params, g_sn, batch):
-                    b = {
-                        k: (v.astype(jnp.bfloat16)
-                            if v.dtype == jnp.float32 and v.ndim == 4 else v)
-                        for k, v in batch.items()
-                    }
-                    _, mut = gen.apply(
-                        {"params": g_params, "sn": g_sn},
-                        b["context"], b["mask"], 1.0 - b["cam"],
-                        b["slice_ratio"], mutable=["calib"],
-                    )
-                    return mut["calib"]
-
-                for b in cds:
-                    jb = {k: jnp.asarray(v) for k, v in b.items()}
-                    calib_cache = merge_calib(
-                        calib_cache,
-                        jax.device_get(one(state.g_params, state.g_sn, jb)))
+                jbs = [{k: jnp.asarray(v) for k, v in b.items()} for b in cds]
+                calib_cache = calibrate_int8(
+                    gen, state.g_params, state.g_sn, jbs, cfg,
+                    return_calib=True,
+                )
             p = (float(variant.rsplit("p", 1)[1])
                  if "-p" in variant else None)
             quant = calib_to_quant(calib_cache, percentile=p)

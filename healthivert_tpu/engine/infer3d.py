@@ -304,6 +304,97 @@ def _cam_bucket(n: int) -> int:
     return -(-n // 64) * 64
 
 
+@jax.jit
+def _params_reduce(tree):
+    """Sum and sum-of-squares over every leaf, as two scalars (one dispatch;
+    a full-tree device_get would crawl through the ~MB/s tunnel)."""
+    tot = jnp.float32(0)
+    sq = jnp.float32(0)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        xf = jnp.asarray(leaf).astype(jnp.float32)
+        tot = tot + jnp.sum(xf)
+        sq = sq + jnp.sum(xf * xf)
+    return tot, sq
+
+
+def _quant_meta(g_params):
+    """Content fingerprint tying a persisted quant tree to its weights: a
+    host hash of the tree structure (paths/shapes/dtypes) plus the two
+    device-reduced scalars. The scalars are compared with a relative
+    tolerance, not hashed — cross-backend reduction order may differ in the
+    last ulp, while retrained weights differ by orders of magnitude."""
+    import hashlib
+
+    from healthivert_tpu.models.pix2pix import INT8_CALIB_PERCENTILE
+
+    h = hashlib.blake2b(digest_size=16)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_params):
+        h.update(str(path).encode())
+        h.update(str(jnp.shape(leaf)).encode())
+        h.update(str(jnp.asarray(leaf).dtype).encode())
+    tot, sq = _params_reduce(g_params)
+    return {
+        "struct": h.hexdigest(),
+        "sum": float(tot),
+        "sq": float(sq),
+        "percentile": float(INT8_CALIB_PERCENTILE),
+    }
+
+
+def _load_quant_store(path, g_params):
+    """Restore a persisted quant tree, or None (-> recalibrate) when the file
+    is unreadable, predates fingerprinting, or was calibrated for different
+    weights / a different percentile (e.g. the checkpoint was retrained under
+    the same --name — silently reusing the old scales would be a quality
+    regression with no warning)."""
+    import warnings
+
+    from flax import serialization
+
+    try:
+        with open(path, "rb") as f:
+            blob = serialization.msgpack_restore(f.read())
+    except Exception as e:  # truncated/corrupt write, foreign format
+        warnings.warn(f"int8 quant store {path} unreadable ({e!r}); "
+                      "recalibrating")
+        return None
+    if not (isinstance(blob, dict) and "meta" in blob and "quant" in blob):
+        warnings.warn(f"int8 quant store {path} has no weight fingerprint "
+                      "(pre-r5 format); recalibrating")
+        return None
+    meta, want = blob["meta"], _quant_meta(g_params)
+    ok = (
+        str(meta.get("struct")) == want["struct"]
+        and float(meta.get("percentile", -1)) == want["percentile"]
+        and np.isclose(float(meta.get("sum", np.inf)), want["sum"],
+                       rtol=1e-4, atol=1e-6)
+        and np.isclose(float(meta.get("sq", np.inf)), want["sq"],
+                       rtol=1e-4, atol=1e-6)
+    )
+    if not ok:
+        warnings.warn(
+            f"int8 quant store {path} was calibrated for different weights "
+            "or percentile; recalibrating (the store will be rewritten)")
+        return None
+    return blob["quant"]
+
+
+def _save_quant_store(path, g_quant, g_params):
+    """Persist the calibrated tree with its weight fingerprint, atomically
+    (temp file + os.replace) so an interrupted write can't poison later
+    runs with a truncated msgpack."""
+    from flax import serialization
+
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    blob = {"meta": _quant_meta(g_params),
+            "quant": jax.device_get(g_quant)}
+    tmp = os.path.join(d, f".{os.path.basename(path)}.tmp.{os.getpid()}")
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(blob))
+    os.replace(tmp, path)
+
+
 def synthesize_volumes(
     g_params,
     g_sn,
@@ -389,10 +480,7 @@ def synthesize_volumes(
     if quant is not None and cfg.compute_dtype != "int8":
         raise ValueError("quant= is only meaningful with compute_dtype='int8'")
     if quant == "auto" and quant_store and os.path.exists(quant_store):
-        from flax import serialization
-
-        with open(quant_store, "rb") as f:
-            g_quant = serialization.msgpack_restore(f.read())
+        g_quant = _load_quant_store(quant_store, g_params)
 
     # three passes: upper neighbor, lower neighbor, target — jobs from every
     # volume share the dispatches
@@ -444,12 +532,7 @@ def synthesize_volumes(
             g_quant = calib_to_quant(jax.device_get(calib),
                                      percentile=INT8_CALIB_PERCENTILE)
             if quant_store:
-                from flax import serialization
-
-                os.makedirs(os.path.dirname(quant_store) or ".", exist_ok=True)
-                with open(quant_store, "wb") as f:
-                    f.write(serialization.msgpack_serialize(
-                        jax.device_get(g_quant)))
+                _save_quant_store(quant_store, g_quant, g_params)
         outs = _run_pass(
             g_params, g_sn, cfg, jobs, job_ratio, cam_stack, job_rows,
             batch_size, use_bf16, mesh=mesh, g_quant=g_quant,

@@ -334,7 +334,7 @@ def merge_calib(a, b):
 
 
 def calibrate_int8(gen: Generator, g_params, g_sn, batches, cfg: Pix2PixConfig,
-                   percentile=None):
+                   percentile=None, return_calib=False):
     """Offline per-tensor int8 activation calibration (VERDICT r3 #3).
 
     Runs the int8 generator over the given generator_forward-style batches
@@ -343,7 +343,11 @@ def calibrate_int8(gen: Generator, g_params, g_sn, batches, cfg: Pix2PixConfig,
     generator_forward(..., g_quant=...). Static scales remove the dynamic
     abs->reduce_max->quantize HBM sweeps from every conv (the reason int8
     lost to bf16 in BENCH_r03) and are batch-composition invariant by
-    construction."""
+    construction.
+
+    return_calib=True returns the raw merged calib tree instead (one
+    calibration pass then serves a whole percentile sweep via repeated
+    calib_to_quant calls — experiments/int8_static_quality.py)."""
 
     @jax.jit
     def one(g_params, g_sn, batch):
@@ -363,6 +367,8 @@ def calibrate_int8(gen: Generator, g_params, g_sn, batches, cfg: Pix2PixConfig,
         calib = merge_calib(calib, jax.device_get(one(g_params, g_sn, batch)))
     if calib is None:
         raise ValueError("calibrate_int8 needs at least one batch")
+    if return_calib:
+        return calib
     return calib_to_quant(calib, percentile=percentile)
 
 

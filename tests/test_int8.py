@@ -284,6 +284,72 @@ def test_quant_store_makes_int8_batch_independent(tmp_path):
     np.testing.assert_array_equal(a_lb, b_lb)
 
 
+def test_quant_store_rejects_stale_or_corrupt(tmp_path):
+    """The persisted quant tree is fingerprinted to the weights: a truncated
+    file, a pre-fingerprint blob, or a store calibrated for DIFFERENT weights
+    (checkpoint retrained under the same --name) must all trigger a warned
+    recalibration instead of crashing or silently reusing stale scales."""
+    import warnings
+
+    from flax import serialization
+
+    from healthivert_tpu.data.synthetic import make_spine_volume
+    from healthivert_tpu.engine.infer3d import (
+        _load_quant_store, _save_quant_store, synthesize_volumes,
+    )
+    from healthivert_tpu.models.pix2pix import Pix2PixConfig, init_state
+
+    cfg = Pix2PixConfig(ngf=4, image_size=64, compute_dtype="int8")
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    other = init_state(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(0)
+    ct, labels, cam = make_spine_volume(
+        rng, shape=(64, 64, 16), vert_ids=(19, 20, 21), vert_height=12,
+        gap=5, fractured={20: 0.6},
+    )
+    store = str(tmp_path / "int8_quant.msgpack")
+    vols = [(ct, labels, 20, cam)]
+    (a_ct, _), = synthesize_volumes(
+        state.g_params, state.g_sn, cfg, vols, batch_size=8, use_bf16=True,
+        quant="auto", quant_store=store,
+    )
+    good = _load_quant_store(store, state.g_params)
+    assert good is not None
+
+    # different weights -> fingerprint mismatch -> recalibrate
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _load_quant_store(store, other.g_params) is None
+    assert any("different weights" in str(x.message) for x in w)
+
+    # truncated file -> unreadable -> recalibrate (and the end-to-end call
+    # must recover: it rewrites the store and still produces output)
+    blob = open(store, "rb").read()
+    with open(store, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        (b_ct, _), = synthesize_volumes(
+            state.g_params, state.g_sn, cfg, vols, batch_size=8,
+            use_bf16=True, quant="auto", quant_store=store,
+        )
+    assert any("unreadable" in str(x.message) for x in w)
+    np.testing.assert_array_equal(a_ct, b_ct)
+    assert _load_quant_store(store, state.g_params) is not None  # rewritten
+
+    # legacy (pre-fingerprint) format: a bare tree without meta
+    with open(store, "wb") as f:
+        f.write(serialization.msgpack_serialize(jax.device_get(good)))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _load_quant_store(store, state.g_params) is None
+    assert any("pre-r5" in str(x.message) for x in w)
+
+    # atomic save leaves no temp droppings
+    _save_quant_store(store, good, state.g_params)
+    assert [p for p in os.listdir(tmp_path)] == ["int8_quant.msgpack"]
+
+
 def test_synthesize_volume_auto_quant():
     """quant='auto' calibrates from the call's own first batch and completes
     3D synthesis; output stays close to the dynamic-scale path."""
