@@ -46,7 +46,7 @@ from healthivert_tpu.ops.attention_pallas import (  # noqa: E402
 )
 
 MODES = ("full", "no_score", "no_fuse", "no_softmax", "no_paste",
-         "paste_bf16", "fold_norm")
+         "paste_bf16", "fold_norm", "floor")
 
 
 def _kernel(hd, wd, scale, r_tile, mode, c_real,
@@ -68,6 +68,19 @@ def _kernel(hd, wd, scale, r_tile, mode, c_real,
     c = fdv.shape[-1]
     packed = 2 * c_real <= c
 
+    if mode == "floor":
+        # nothing but the DMAs in and zero phase-outputs: the kernel's fixed
+        # floor (per-program overhead + manual DMA serialization), wrapper
+        # included in the measurement
+        cp_p.wait()
+        for r in range(2):
+            for s_ in range(2):
+                acc_s[:] = jnp.zeros((hd, wd, c), acc_s.dtype)
+                cp_o = pltpu.make_async_copy(acc_s, out_hbm.at[b, r, s_],
+                                             sems.at[3])
+                cp_o.start()
+                cp_o.wait()
+        return
     if mode == "no_score":
         s_ref[:] = jnp.full((num_l, num_l), 0.5, jnp.float32)
     else:
@@ -272,6 +285,44 @@ def run(fd, bd, b_full, mm, hd, wd, scale=10.0, mode="full"):
     return y[..., :c_in]
 
 
+@functools.partial(jax.jit, static_argnames=("hd", "wd", "scale", "mode"))
+def run_padded(fd, bd, bph, mm, hd, wd, scale=10.0, mode="full"):
+    """The pallas_call alone on PRE-built operands (no channel pad, no bph
+    transpose, no output interleave) — isolates the XLA wrapper's cost from
+    the kernel's own floor."""
+    bs, _, _, c = fd.shape
+    num_l = hd * wd
+    r_tile = 128 if num_l % 128 == 0 else num_l
+    c_real = 64
+    kernel = functools.partial(_kernel, hd, wd, scale, r_tile, mode, c_real)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bs,),
+        in_specs=[
+            any_spec, any_spec, any_spec,
+            pl.BlockSpec((1, num_l, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[any_spec],
+        out_shape=[jax.ShapeDtypeStruct((bs, 2, 2, hd, wd, c), fd.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((hd, wd, c), fd.dtype),
+            pltpu.VMEM((hd, wd, c), bd.dtype),
+            pltpu.VMEM((2, 2, hd, wd, c), bph.dtype),
+            pltpu.VMEM((num_l, num_l), jnp.float32),
+            pltpu.VMEM((num_l, num_l), jnp.float32),
+            pltpu.VMEM((num_l, num_l), jnp.bfloat16),
+            pltpu.VMEM((hd, wd, c), fd.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(fd, bd, bph, mm[..., None].astype(jnp.float32))[0]
+    return out
+
+
 def main():
     bs = int(_sys.argv[1]) if len(_sys.argv) > 1 else 256
     hd = wd = 32
@@ -298,6 +349,29 @@ def main():
             base = ms
         delta = f"  (saves {base - ms:5.2f} ms)" if base and mode != "full" else ""
         print(f"{mode:12s} {ms:7.2f} ms{delta}", flush=True)
+
+    # wrapper-vs-kernel split: the same kernel on pre-built 128-lane operands
+    c128 = 128
+    fdp = jnp.pad(fd, ((0, 0), (0, 0), (0, 0), (0, c128 - c)))
+    bdp = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (0, c128 - c)))
+    bphp = jnp.pad(bf, ((0, 0), (0, 0), (0, 0), (0, c128 - c))).reshape(
+        bs, hd, 2, wd, 2, c128).transpose(0, 2, 4, 1, 3, 5)
+    # materialize on device (a host round-trip would crawl through the
+    # ~MB/s tunnel)
+    fdp, bdp, bphp = jax.jit(lambda *xs: tuple(x + 0 for x in xs))(
+        fdp, bdp, bphp)
+    for mode in ("full", "floor"):
+        y = run_padded(fdp, bdp, bphp, mm, hd, wd, mode=mode)
+        float(jnp.sum(y.astype(jnp.float32)))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                y = run_padded(fdp, bdp, bphp, mm, hd, wd, mode=mode)
+            float(jnp.sum(y.astype(jnp.float32)))
+            best = min(best, (time.perf_counter() - t0) / 10)
+        print(f"padded-{mode:7s} {best * 1e3:7.2f} ms  (wrapper excluded)",
+              flush=True)
 
     # numeric sanity for the two CANDIDATE modes (they must match full)
     y0 = np.asarray(run(fd, bd, bf, mm, hd, wd, mode="full"), np.float32)
