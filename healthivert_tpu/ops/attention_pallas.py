@@ -302,7 +302,7 @@ def _unpack_hi(x, c, c_real, interpret):
 
 
 def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res, c_real,
-                         fd_hbm, bd_hbm, bph_hbm, mm_ref, out_hbm,
+                         fd_ref, bd_ref, bph_ref, mm_ref, out_ref,
                          *rest):
     if emit_res:
         # training variant: also emit s (post-norm pre-fuse scores), the
@@ -311,19 +311,17 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res, c_real,
         # the score einsum + fuse + softmax recompute cost ~17 ms at B=64)
         s_out, p_out, n_out = rest[:3]
         rest = rest[3:]
-    fd_s, bd_s, bph_s, s_ref, b_ref, acc_s, sems = rest
-    b = pl.program_id(0)
+    s_ref, b_ref = rest
+    # every operand rides Mosaic's automatic double-buffered block pipeline
+    # (fetches/stores overlap adjacent programs' compute); the original
+    # manual ANY-space DMAs serialized 7 start/wait pairs per program and
+    # cost ~1.4 ms of pure latency at bs256 (experiments/attn_ablate.py:
+    # full 16.2 -> auto 14.8 ms, bit-exact)
     num_l = hd * wd
     nt = num_l // r_tile
 
-    cp_f = pltpu.make_async_copy(fd_hbm.at[b], fd_s, sems.at[0])
-    cp_b = pltpu.make_async_copy(bd_hbm.at[b], bd_s, sems.at[1])
-    cp_p = pltpu.make_async_copy(bph_hbm.at[b], bph_s, sems.at[2])
-    cp_f.start(); cp_b.start(); cp_p.start()
-    cp_f.wait(); cp_b.wait()
-
-    fdv = fd_s[:]  # (hd, wd, C)
-    bdv = bd_s[:]
+    fdv = fd_ref[0]  # (hd, wd, C)
+    bdv = bd_ref[0]
 
     # --- scores: S[l, p] = sum_o <bd[l+o-1], fd[p+o-1]>, offset-accumulated.
     # The channel (lane) dim is zero-padded to 128 for the DMAs, so a plain
@@ -433,12 +431,11 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res, c_real,
     if emit_res:
         p_out[0] = s_ref[:]
 
-    # --- paste into 2x2 output phases; phase planes DMA'd out one by one.
-    # Same pair packing as the scores (N side this time): the two column
-    # offsets of a row share one matmul, their results landing in disjoint
-    # lane halves (garbage stays in the pad lanes the wrapper slices off).
-    # 16 matmuls become 8. ---
-    cp_p.wait()
+    # --- paste into 2x2 output phases (the whole block stores once per
+    # program, overlapped by the pipeline). Same pair packing as the scores
+    # (N side this time): the two column offsets of a row share one matmul,
+    # their results landing in disjoint lane halves (garbage stays in the
+    # pad lanes the wrapper slices off). 16 matmuls become 8. ---
     for r in range(2):
         a_vals = [0, 1] if r == 0 else [-1, 0]
         for s_ in range(2):
@@ -447,7 +444,7 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res, c_real,
             for a in a_vals:
                 if packed:
                     pair = _pack2(
-                        bph_s[r, s_], (a, bb_vals[0]), (a, bb_vals[1]),
+                        bph_ref[0, r, s_], (a, bb_vals[0]), (a, bb_vals[1]),
                         num_l, c, c_real, interpret,
                     )
                     out_o = jax.lax.dot_general(
@@ -463,17 +460,14 @@ def _attention_v2_kernel(hd, wd, scale, r_tile, interpret, emit_res, c_real,
                     )
                 else:
                     for bb in bb_vals:
-                        raw_o = _shift2d(bph_s[r, s_], a, bb).reshape(num_l, c)
+                        raw_o = _shift2d(bph_ref[0, r, s_], a, bb).reshape(num_l, c)
                         out_o = jax.lax.dot_general(
                             s_ref[:], raw_o,
                             dimension_numbers=(((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )  # (P, C)
                         acc = acc + _shift2d(out_o.reshape(hd, wd, c), -a, -bb)
-            acc_s[:] = (acc / 4.0).astype(acc_s.dtype)
-            cp_o = pltpu.make_async_copy(acc_s, out_hbm.at[b, r, s_], sems.at[3])
-            cp_o.start()
-            cp_o.wait()
+            out_ref[0, r, s_] = (acc / 4.0).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -509,9 +503,10 @@ def attention_v2(
         _attention_v2_kernel, hd, wd, scale, r_tile, interpret, emit_residuals,
         c_in,
     )
-    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = [jax.ShapeDtypeStruct((bs, 2, 2, hd, wd, c), fd.dtype)]
-    out_specs = [any_spec]
+    out_specs = [
+        pl.BlockSpec((1, 2, 2, hd, wd, c), lambda i: (i, 0, 0, 0, 0, 0))
+    ]
     if emit_residuals:
         big = pl.BlockSpec(
             (1, num_l, num_l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -529,23 +524,20 @@ def attention_v2(
         kernel,
         grid=(bs,),
         in_specs=[
-            any_spec, any_spec, any_spec,
+            pl.BlockSpec((1, hd, wd, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hd, wd, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 2, hd, wd, c), lambda i: (i, 0, 0, 0, 0, 0)),
             pl.BlockSpec((1, num_l, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((hd, wd, c), fd.dtype),
-            pltpu.VMEM((hd, wd, c), bd.dtype),
-            pltpu.VMEM((2, 2, hd, wd, c), b_full.dtype),
             pltpu.VMEM((num_l, num_l), jnp.float32),
             pltpu.VMEM((num_l, num_l), jnp.float32),
-            pltpu.VMEM((hd, wd, c), fd.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(fd, bd, bph, mm[..., None].astype(jnp.float32))
     out = outs[0]
