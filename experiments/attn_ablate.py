@@ -501,6 +501,196 @@ def run_auto(fd, bd, b_full, mm, hd, wd, scale=10.0, mode="full"):
     return y[..., :c_in]
 
 
+def _kernel_fold(hd, wd, scale, r_tile, mode, c_real,
+                 fd_ref, bd_ref, bf_ref, mm_ref, out_ref,
+                 s_ref, b_ref):
+    """_kernel_auto, but the 2x2 phase split of b_full AND the phase
+    interleave of the output happen IN-KERNEL via major/sublane-dim
+    stack+reshape (no strided memory ops), so the XLA wrapper's two big
+    HBM transposes disappear. b_full and the output ride the block
+    pipeline at their natural (B, 2hd, 2wd, C) layout."""
+    num_l = hd * wd
+    nt = num_l // r_tile
+    interpret = False
+
+    fdv = fd_ref[0]
+    bdv = bd_ref[0]
+    c = fdv.shape[-1]
+    packed = 2 * c_real <= c
+
+    # in-kernel phase split: (2hd, 2wd, c) -> [r][s] (hd, wd, c)
+    bfull = bf_ref[0]
+    t1 = bfull.reshape(hd, 2, 2 * wd, c)
+    rows = [t1[:, 0], t1[:, 1]]                    # (hd, 2wd, c) each
+    phases = [[r.reshape(hd, wd, 2, c)[:, :, 0, :],
+               r.reshape(hd, wd, 2, c)[:, :, 1, :]] for r in rows]
+
+    if mode == "floor":
+        out_ref[0] = jnp.zeros((2 * hd, 2 * wd, c), out_ref.dtype)
+        return
+
+    s_acc = jnp.zeros((num_l, num_l), jnp.float32)
+    nrm2 = jnp.zeros((hd, wd, 1), jnp.float32)
+    bd2 = jnp.sum(bdv.astype(jnp.float32) * bdv.astype(jnp.float32),
+                  axis=-1, keepdims=True)
+    offs = [(dy - 1, dx - 1) for dy in range(3) for dx in range(3)]
+    for o in offs:
+        nrm2 = nrm2 + _shift2d(bd2, o[0], o[1])
+    groups = (
+        [offs[i: i + 2] for i in range(0, 8, 2)] + [offs[8:]]
+        if packed else [[o] for o in offs]
+    )
+    for g in groups:
+        if len(g) == 2:
+            f_o = _pack2(fdv, g[0], g[1], num_l, c, c_real, interpret)
+            b_o = _pack2(bdv, g[0], g[1], num_l, c, c_real, interpret)
+        else:
+            f_o = _shift2d(fdv, g[0][0], g[0][1]).reshape(num_l, c)
+            b_o = _shift2d(bdv, g[0][0], g[0][1]).reshape(num_l, c)
+        s_acc = s_acc + jax.lax.dot_general(
+            b_o, f_o, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    nrm = jnp.maximum(jnp.sqrt(nrm2.reshape(num_l, 1)), 1e-4)
+    s_ref[:] = s_acc / nrm
+
+    g_rows = mm_ref[0]
+    for t in range(nt):
+        r0 = t * r_tile
+        cur = s_ref[r0: r0 + r_tile, :]
+        up = (
+            jax.lax.concatenate(
+                [jnp.zeros_like(cur[:1]), s_ref[0: r_tile - 1, :]], 0)
+            if t == 0 else s_ref[r0 - 1: r0 + r_tile - 1, :]
+        )
+        dn = (
+            jax.lax.concatenate(
+                [s_ref[r0 + 1: num_l, :], jnp.zeros_like(cur[:1])], 0)
+            if t == nt - 1 else s_ref[r0 + 1: r0 + r_tile + 1, :]
+        )
+        b_ref[r0: r0 + r_tile, :] = (
+            cur + _col_shift(up, -1, interpret) + _col_shift(dn, +1, interpret)
+        )
+    m = jnp.full((1, num_l), -jnp.inf, jnp.float32)
+    for t in range(nt):
+        r0 = t * r_tile
+        cur = b_ref[r0: r0 + r_tile, :]
+        if r0 + r_tile + wd <= num_l:
+            plus = b_ref[r0 + wd: r0 + wd + r_tile, :]
+        else:
+            parts = []
+            if num_l - wd - r0 > 0:
+                parts.append(b_ref[r0 + wd: num_l, :])
+            parts.append(b_ref[1:wd, :])
+            parts.append(jnp.zeros_like(cur[:1]))
+            plus = jax.lax.concatenate(parts, 0)
+        if r0 >= wd:
+            minus = b_ref[r0 - wd: r0 - wd + r_tile, :]
+        else:
+            parts = [jnp.zeros_like(cur[:1])]
+            parts.append(b_ref[num_l - wd: num_l - 1, :])
+            parts.append(b_ref[0: r_tile - wd, :])
+            minus = jax.lax.concatenate(parts, 0)
+        fused = (
+            cur
+            + _col_perm_plus(plus, wd, interpret)
+            + _col_perm_minus(minus, wd, interpret)
+        )
+        s_ref[r0: r0 + r_tile, :] = fused
+        logits = fused * g_rows[r0: r0 + r_tile] * scale
+        m = jnp.maximum(m, jnp.max(logits, axis=0, keepdims=True))
+
+    ssum = jnp.zeros((1, num_l), jnp.float32)
+    for t in range(nt):
+        r0 = t * r_tile
+        logits = s_ref[r0: r0 + r_tile, :] * g_rows[r0: r0 + r_tile] * scale
+        e = jnp.exp(logits - m)
+        ssum = ssum + jnp.sum(e, axis=0, keepdims=True)
+        s_ref[r0: r0 + r_tile, :] = e
+    inv = 1.0 / ssum
+    for t in range(nt):
+        r0 = t * r_tile
+        s_ref[r0: r0 + r_tile, :] = (
+            s_ref[r0: r0 + r_tile, :] * inv * g_rows[r0: r0 + r_tile]
+        )
+
+    accs = []
+    for r in range(2):
+        a_vals = [0, 1] if r == 0 else [-1, 0]
+        row_accs = []
+        for s_ in range(2):
+            bb_vals = [0, 1] if s_ == 0 else [-1, 0]
+            acc = jnp.zeros((hd, wd, c), jnp.float32)
+            for a in a_vals:
+                if packed:
+                    pair = _pack2(
+                        phases[r][s_], (a, bb_vals[0]), (a, bb_vals[1]),
+                        num_l, c, c_real, interpret,
+                    )
+                    out_o = jax.lax.dot_general(
+                        s_ref[:], pair,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = acc + _shift2d(out_o.reshape(hd, wd, c),
+                                         -a, -bb_vals[0])
+                    acc = acc + _shift2d(
+                        _unpack_hi(out_o, c, c_real, interpret)
+                        .reshape(hd, wd, c), -a, -bb_vals[1])
+                else:
+                    for bb in bb_vals:
+                        raw_o = _shift2d(phases[r][s_], a, bb).reshape(num_l, c)
+                        out_o = jax.lax.dot_general(
+                            s_ref[:], raw_o,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = acc + _shift2d(out_o.reshape(hd, wd, c), -a, -bb)
+            row_accs.append((acc / 4.0).astype(out_ref.dtype))
+        # col interleave: (hd, wd, c) x2 -> (hd, 2wd, c)
+        accs.append(jnp.stack(row_accs, axis=2).reshape(hd, 2 * wd, c))
+    # row interleave: (hd, 2wd, c) x2 -> (2hd, 2wd, c)
+    out_ref[0] = jnp.stack(accs, axis=1).reshape(2 * hd, 2 * wd, c)
+
+
+@functools.partial(jax.jit, static_argnames=("hd", "wd", "scale", "mode"))
+def run_fold(fd, bd, b_full, mm, hd, wd, scale=10.0, mode="full"):
+    """run_auto minus the wrapper's bph transpose and output interleave —
+    both folded into the kernel. XLA keeps only the channel pad + final
+    channel slice."""
+    bs, _, _, c_in = fd.shape
+    num_l = hd * wd
+    r_tile = 128 if num_l % 128 == 0 else num_l
+    c_pad = (-c_in) % 128
+    if c_pad:
+        fd = jnp.pad(fd, ((0, 0), (0, 0), (0, 0), (0, c_pad)))
+        bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (0, c_pad)))
+        b_full = jnp.pad(b_full, ((0, 0), (0, 0), (0, 0), (0, c_pad)))
+    c = c_in + c_pad
+    kernel = functools.partial(_kernel_fold, hd, wd, scale, r_tile, mode, c_in)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bs,),
+        in_specs=[
+            pl.BlockSpec((1, hd, wd, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hd, wd, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2 * hd, 2 * wd, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, num_l, 1), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * hd, 2 * wd, c),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bs, 2 * hd, 2 * wd, c), fd.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((num_l, num_l), jnp.float32),
+            pltpu.VMEM((num_l, num_l), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(fd, bd, b_full, mm[..., None].astype(jnp.float32))
+    return out[..., :c_in]
+
+
 def main():
     bs = int(_sys.argv[1]) if len(_sys.argv) > 1 else 256
     hd = wd = 32
@@ -575,6 +765,30 @@ def main():
         y1 = np.asarray(run(fd, bd, bf, mm, hd, wd, mode=mode), np.float32)
         err = np.max(np.abs(y0 - y1)) / max(np.max(np.abs(y0)), 1e-6)
         print(f"{mode}: rel max err vs full = {err:.4g}", flush=True)
+
+    # in-kernel phase fold (kills the wrapper's bph transpose + output
+    # interleave; only the channel pad + final slice stay in XLA)
+    for mode in ("full", "floor"):
+        try:
+            y = run_fold(fd, bd, bf, mm, hd, wd, mode=mode)
+            float(jnp.sum(y.astype(jnp.float32)))
+        except Exception as e:  # noqa: BLE001 — compile rejection is a result
+            print(f"fold-{mode}: REJECTED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            continue
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                y = run_fold(fd, bd, bf, mm, hd, wd, mode=mode)
+            float(jnp.sum(y.astype(jnp.float32)))
+            best = min(best, (time.perf_counter() - t0) / 10)
+        print(f"fold-{mode:7s} {best * 1e3:7.2f} ms  (in-kernel phases)",
+              flush=True)
+        if mode == "full":
+            yf = np.asarray(y, np.float32)
+            err = np.max(np.abs(y0 - yf)) / max(np.max(np.abs(y0)), 1e-6)
+            print(f"fold-full: rel max err vs full = {err:.4g}", flush=True)
 
 
 if __name__ == "__main__":
